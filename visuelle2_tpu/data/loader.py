@@ -1,0 +1,99 @@
+"""Host-side batch assembly and device sharding.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` with worker processes
+(``/root/reference/train_dl.py:84-90``): batches here are pure numpy gathers
+from the preprocessed arrays + the uint8 image memmap, padded to a static batch
+size (XLA traces once per shape) and placed on device with a batch-axis
+``NamedSharding`` so per-chip shards transfer directly over ICI-attached HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from visuelle2_tpu.data.images import ImageStore
+from visuelle2_tpu.data.pipeline import Visuelle2Arrays
+
+Batch = Dict[str, np.ndarray]
+
+
+def _pad_to(a: np.ndarray, n: int) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+class BatchLoader:
+    """Iterates static-shape batches over a Visuelle2Arrays split.
+
+    Yields dict batches with a ``mask`` marking real rows (the tail batch is
+    zero-padded to keep shapes static under jit).  Shuffling matches the
+    reference semantics (``DataLoader(shuffle=True)``, reseeded per epoch).
+    """
+
+    def __init__(self, arrays: Visuelle2Arrays, images: Optional[ImageStore],
+                 batch_size: int, *, shuffle: bool = False, seed: int = 21,
+                 drop_remainder: bool = False):
+        self.arrays = arrays
+        self.images = images
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.arrays)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.arrays)
+
+    def _gather(self, idx: np.ndarray, pad_to: int) -> Batch:
+        a = self.arrays
+        batch: Batch = {
+            "cat": a.cat[idx], "col": a.col[idx], "fab": a.fab[idx],
+            "store": a.store[idx], "temporal": a.temporal[idx],
+            "gtrends": a.gtrends[idx],
+        }
+        if a.demand:
+            batch["ts"] = a.ts[idx]
+        else:
+            batch["X"] = a.X[idx]
+            batch["y"] = a.y[idx]
+        if self.images is not None:
+            batch["images"] = self.images.gather(idx)
+        mask = np.zeros(pad_to, np.float32)
+        mask[: len(idx)] = 1.0
+        batch = {k: _pad_to(v, pad_to) for k, v in batch.items()}
+        batch["mask"] = mask
+        return batch
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = len(self.arrays)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start: start + self.batch_size]
+            yield self._gather(idx, self.batch_size)
+
+
+def shard_batch(batch: Batch, sharding=None) -> Batch:
+    """Place a host batch on device, sharded over the batch axis.
+
+    With ``sharding=None`` this is a plain ``device_put`` (single chip).
+    """
+    if sharding is None:
+        return jax.device_put(batch)
+    return jax.device_put(batch, sharding)

@@ -1,0 +1,173 @@
+"""Attention modules: additive (Bahdanau), multi-head, and the gated variants.
+
+Reference counterparts:
+
+* ``AdditiveAttention`` — two weighting variants exist in the reference:
+  weights applied to the *raw encoder output* (``CrossAttnRNN21.py:88``) vs to
+  the *projected* ``h_j`` (``CrossAttnRNNDemand.py:145-147``).  Both are
+  supported via ``weight_on``.
+* ``MultiHeadAttention`` — torch ``nn.MultiheadAttention`` semantics
+  (joint QKV projections + out projection, dropout on attention probs), but
+  batch-first ``[B, L, D]`` — the natural TPU layout.
+* ``PureGatedMultiHeadAttention`` — v2's post-concat gating with +2.0 bias
+  init (``Proposed_model_v2.py:546-602``).
+* ``HeadSpecificGatedAttention`` — v2's per-head gate on ``head_dim``
+  (``Proposed_model_v2.py:643-690``).
+* ``GatedCrossAttention`` — v1's query-gated standard MHA
+  (``Proposed_model.py:194-224``).
+
+Hot paths have Pallas-fused equivalents in ``visuelle2_tpu.ops.pallas``;
+these XLA versions are the reference implementations used for parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class AdditiveAttention(nn.Module):
+    """Bahdanau additive attention.
+
+    energy = v·tanh(W_e·enc + W_d·dec);  alpha = softmax(energy over len);
+    returns (alpha-weighted encoding [B, L, D_w], alpha [B, L]).
+    """
+
+    attention_dim: int
+    weight_on: str = "inputs"  # "inputs" (CrossAttnRNN21.py:88) | "projected" (Demand:146)
+
+    @nn.compact
+    def __call__(self, encoder_out, decoder_hidden):
+        # encoder_out: [B, L, De]; decoder_hidden: [B, Dd]
+        h_j = nn.Dense(self.attention_dim, use_bias=False, name="encoder_linear")(encoder_out)
+        s_i = nn.Dense(self.attention_dim, use_bias=False, name="decoder_linear")(decoder_hidden)
+        energy = nn.Dense(1, name="attn_linear")(jnp.tanh(h_j + s_i[:, None, :]))[..., 0]
+        alpha = jax.nn.softmax(energy, axis=1)
+        base = encoder_out if self.weight_on == "inputs" else h_j
+        return alpha[..., None] * base, alpha
+
+
+def _dot_attention(q, k, v, *, scale, mask=None, dropout_rate=0.0,
+                   deterministic=True, dropout_rng=None):
+    """q: [B, h, Lq, d], k/v: [B, h, Lk, d] -> [B, h, Lq, d]."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if mask is not None:
+        scores = scores + mask  # additive mask (0 / -inf), broadcastable
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v), probs
+
+
+def _split_heads(x, num_heads):
+    B, L, D = x.shape
+    return x.reshape(B, L, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, h, L, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, h * d)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch-``nn.MultiheadAttention``-compatible MHA, batch-first.
+
+    Returns (output [B, Lq, D], attn_probs averaged over heads [B, Lq, Lk])
+    — torch averages head probabilities when ``need_weights=True``.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, query, key, value, *, mask=None, deterministic=True):
+        D, h = self.embed_dim, self.num_heads
+        q = nn.Dense(D, name="q_proj")(query)
+        k = nn.Dense(D, name="k_proj")(key)
+        v = nn.Dense(D, name="v_proj")(value)
+        qh, kh, vh = (_split_heads(t, h) for t in (q, k, v))
+        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
+        out, probs = _dot_attention(
+            qh, kh, vh, scale=(D // h) ** -0.5, mask=mask,
+            dropout_rate=self.dropout, deterministic=deterministic, dropout_rng=rng)
+        out = nn.Dense(D, name="out_proj")(_merge_heads(out))
+        return out, probs.mean(axis=1)
+
+
+class PureGatedMultiHeadAttention(nn.Module):
+    """v2 cross-attention: concatenated head output gated by σ(W_g·query)
+    *before* the out projection; gate bias init +2.0 (≈88% open)
+    (``Proposed_model_v2.py:546-602``)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    gate_bias_init: float = 2.0
+
+    @nn.compact
+    def __call__(self, query, key, value, *, mask=None, deterministic=True):
+        D, h = self.embed_dim, self.num_heads
+        q = nn.Dense(D, name="q_proj")(query)
+        k = nn.Dense(D, name="k_proj")(key)
+        v = nn.Dense(D, name="v_proj")(value)
+        qh, kh, vh = (_split_heads(t, h) for t in (q, k, v))
+        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
+        out, _ = _dot_attention(
+            qh, kh, vh, scale=(D // h) ** -0.5, mask=mask,
+            dropout_rate=self.dropout, deterministic=deterministic, dropout_rng=rng)
+        attn_output = _merge_heads(out)
+        gate = jax.nn.sigmoid(nn.Dense(
+            D, name="gate_proj",
+            bias_init=nn.initializers.constant(self.gate_bias_init))(query))
+        return nn.Dense(D, name="out_proj")(attn_output * gate)
+
+
+class HeadSpecificGatedAttention(nn.Module):
+    """v2 encoder self-attention: per-head gate σ(W_g·q_head) on head_dim,
+    gate bias init +2.0 (``Proposed_model_v2.py:643-690``)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    gate_bias_init: float = 2.0
+
+    @nn.compact
+    def __call__(self, query, key, value, *, mask=None, deterministic=True):
+        D, h = self.embed_dim, self.num_heads
+        d = D // h
+        q = nn.Dense(D, name="q_proj")(query)
+        k = nn.Dense(D, name="k_proj")(key)
+        v = nn.Dense(D, name="v_proj")(value)
+        qh, kh, vh = (_split_heads(t, h) for t in (q, k, v))
+        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
+        out, _ = _dot_attention(
+            qh, kh, vh, scale=d ** -0.5, mask=mask,
+            dropout_rate=self.dropout, deterministic=deterministic, dropout_rng=rng)
+        # Gate computed from the *projected per-head query* (v2 line 684).
+        gate = jax.nn.sigmoid(nn.Dense(
+            d, name="gate_proj",
+            bias_init=nn.initializers.constant(self.gate_bias_init))(qh))
+        return nn.Dense(D, name="out_proj")(_merge_heads(out * gate))
+
+
+class GatedCrossAttention(nn.Module):
+    """v1 gated cross-attention: full standard MHA, output gated by
+    σ(W_g·query), then dropout (``Proposed_model.py:194-224``).  The residual
+    add+norm lives in the caller's decoder layer."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, query, key, value, *, mask=None, deterministic=True):
+        attn_out, _ = MultiHeadAttention(
+            self.embed_dim, self.num_heads, self.dropout, name="mha")(
+            query, key, value, mask=mask, deterministic=deterministic)
+        gate = jax.nn.sigmoid(nn.Dense(self.embed_dim, name="gate_proj")(query))
+        return nn.Dropout(self.dropout, deterministic=deterministic)(attn_out * gate)
