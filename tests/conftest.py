@@ -1,18 +1,29 @@
-"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+"""Test config: force an 8-device virtual CPU mesh.
 
 This is the JAX-native fake backend (SURVEY.md §4): multi-chip sharding tests
 run on host CPU devices, no TPU required.
+
+Note: the harness's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon, so mutating the env var here is too late — we must go
+through ``jax.config.update``.  XLA_FLAGS is still honored because no backend
+has been initialized yet when conftest runs.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+assert jax.devices()[0].platform == "cpu", "tests must not run on the real TPU"
 
 
 @pytest.fixture(scope="session")
