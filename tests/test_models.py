@@ -1,0 +1,194 @@
+"""Model construction + forward smoke/shape tests for all families, plus the
+ResNet conversion golden test."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visuelle2_tpu.data.images import ImageStore
+from visuelle2_tpu.data.loader import BatchLoader
+from visuelle2_tpu.data.pipeline import load_visuelle2
+from visuelle2_tpu.models import VocabSizes, build
+
+SMALL = dict(attention_dim=16, embedding_dim=16, hidden_dim=16,
+             image_arch="tiny")
+SMALL_GTM = dict(embedding_dim=16, hidden_dim=16, image_arch="tiny")
+VOCAB = VocabSizes(5, 6, 5, 126)
+
+
+def _batch(synthetic_dataset, demand, output_len, n=8):
+    arrays = load_visuelle2(synthetic_dataset, "train", demand=demand,
+                            output_len=output_len)
+    store = ImageStore.build(synthetic_dataset + "/images", arrays.image_paths,
+                             size=32)
+    loader = BatchLoader(arrays, store, batch_size=n, drop_remainder=True)
+    return next(iter(loader))
+
+
+@pytest.fixture(scope="module")
+def stfore1(synthetic_dataset):
+    return _batch(synthetic_dataset, False, 1)
+
+
+@pytest.fixture(scope="module")
+def stfore10(synthetic_dataset):
+    return _batch(synthetic_dataset, False, 10)
+
+
+@pytest.fixture(scope="module")
+def demand12(synthetic_dataset):
+    return _batch(synthetic_dataset, True, 12)
+
+
+def _init_and_run(model, batch, train=False):
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "sampling": jax.random.key(2)}
+    variables = model.init(rngs, batch, train=False)
+    if train:
+        out, mutated = model.apply(
+            variables, batch, train=True,
+            rngs={"dropout": jax.random.key(3), "sampling": jax.random.key(4)},
+            mutable=["batch_stats"])
+        return out
+    return model.apply(variables, batch, train=False)
+
+
+def test_cross_attn_rnn_21_shapes(stfore1):
+    model = build("cross_attn_rnn_21", vocab=VOCAB, out_len=1, **SMALL)
+    (pred, aux) = _init_and_run(model, stfore1)
+    assert pred.shape == (8, 10, 1)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_cross_attn_rnn_210_shapes_and_tf(stfore10):
+    model = build("cross_attn_rnn_210", vocab=VOCAB, out_len=10,
+                  use_teacher_forcing=True, **SMALL)
+    (pred, _) = _init_and_run(model, stfore10)
+    assert pred.shape == (8 * 1, 10)
+    (pred_t, _) = _init_and_run(model, stfore10, train=True)
+    assert np.isfinite(np.asarray(pred_t)).all()
+
+
+def test_cross_attn_rnn_demand_shapes_and_toggles(demand12):
+    model = build("cross_attn_rnn_demand", vocab=VOCAB, out_len=12, **SMALL)
+    (pred, _) = _init_and_run(model, demand12)
+    assert pred.shape == (8, 12, 1)
+    # Modality toggles produce a smaller fusion token set but same output.
+    model2 = build("cross_attn_rnn_demand", vocab=VOCAB, out_len=12,
+                   use_img=False, use_trends=False, **SMALL)
+    (pred2, _) = _init_and_run(model2, demand12)
+    assert pred2.shape == (8, 12, 1)
+
+
+@pytest.mark.parametrize("name", ["gtm", "m4ft", "gated_v1", "gated_v2",
+                                  "gated_v3", "gated_v4"])
+def test_seq2seq_demand_forward(name, demand12):
+    model = build(name, vocab=VOCAB, output_len=12, **SMALL_GTM)
+    (pred, _) = _init_and_run(model, demand12)
+    assert pred.shape == (8, 12)
+    assert np.isfinite(np.asarray(pred)).all()
+    # Train mode exercises BatchNorm batch stats + dropout rngs.
+    (pred_t, _) = _init_and_run(model, demand12, train=True)
+    assert np.isfinite(np.asarray(pred_t)).all()
+
+
+def test_seq2seq_stfore_windows(stfore1):
+    model = build("gtm", vocab=VOCAB, output_len=1, **SMALL_GTM)
+    (pred, _) = _init_and_run(model, stfore1)
+    assert pred.shape == (8 * 10, 1)
+
+
+def test_seq2seq_autoregressive(demand12):
+    model = build("gated_v4", vocab=VOCAB, output_len=12, autoregressive=True,
+                  **SMALL_GTM)
+    (pred, _) = _init_and_run(model, demand12)
+    assert pred.shape == (8, 12)
+
+
+@pytest.mark.parametrize("qm", ["text", "image", "temporal"])
+def test_targ_query_modalities(qm, demand12):
+    model = build("gated_v3", vocab=VOCAB, output_len=12, query_modality=qm,
+                  **SMALL_GTM)
+    (pred, _) = _init_and_run(model, demand12)
+    assert pred.shape == (8, 12)
+
+
+def test_resnet_conversion_matches_torch(rng):
+    """Golden: flax backbone with converted random torch weights == torch
+    forward (eval mode), validating params_from_torch exactly."""
+    import torch
+
+    from visuelle2_tpu.models.resnet import ResNetBackbone, params_from_torch
+
+    # Build a tiny torch ResNet with the torchvision Bottleneck layout.
+    class TBottleneck(torch.nn.Module):
+        expansion = 4
+
+        def __init__(self, cin, width, stride, downsample):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(width)
+            self.conv2 = torch.nn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(width)
+            self.conv3 = torch.nn.Conv2d(width, width * 4, 1, bias=False)
+            self.bn3 = torch.nn.BatchNorm2d(width * 4)
+            self.downsample = downsample
+            self.relu = torch.nn.ReLU()
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return self.relu(out + idn)
+
+    class TNet(torch.nn.Module):
+        def __init__(self, blocks=(1, 1, 1, 1)):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(64)
+            self.relu = torch.nn.ReLU()
+            self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+            cin = 64
+            for i, (n, w) in enumerate(zip(blocks, (64, 128, 256, 512))):
+                layers = []
+                for b in range(n):
+                    stride = 2 if (i > 0 and b == 0) else 1
+                    ds = None
+                    if b == 0:
+                        ds = torch.nn.Sequential(
+                            torch.nn.Conv2d(cin, w * 4, 1, stride, bias=False),
+                            torch.nn.BatchNorm2d(w * 4))
+                    layers.append(TBottleneck(cin, w, stride, ds))
+                    cin = w * 4
+                setattr(self, f"layer{i + 1}", torch.nn.Sequential(*layers))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for i in range(4):
+                x = getattr(self, f"layer{i + 1}")(x)
+            return x
+
+    tnet = TNet()
+    tnet.eval()
+    # Randomize BN running stats so conversion of statistics is exercised.
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    # Rename downsample.{0,1} keys into torchvision's naming for the converter.
+    sd = {k: v for k, v in tnet.state_dict().items()}
+
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.tensor(x)).numpy()  # NCHW
+
+    variables = params_from_torch(sd, arch="tiny")
+    net = ResNetBackbone(blocks=(1, 1, 1, 1))
+    out = net.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(t_out, (0, 2, 3, 1)), atol=1e-3, rtol=1e-3)

@@ -1,0 +1,179 @@
+"""Multimodal fusion networks for the GTM / M4FT / Gated model families.
+
+Each class mirrors one reference fusion design (SURVEY.md §2.2); the gated
+variants also have a Pallas-fused execution path (``ops/pallas/gated_fusion``)
+selectable via ``use_pallas`` on TPU.
+
+* ``GTMFusionNetwork``          — concat(img, text_flat, dummy) -> BN -> MLP
+  (``GTM_Visuelle2.py:151-172``)
+* ``FusionBlock`` / ``M4FTFusionNetwork`` — hierarchical summation fusion
+  (``M4FT_Visuelle2.py:161-202``)
+* ``GatedResidualBlock`` / ``ResidualGatedFusionNetwork`` — v1 per-modality
+  soft gates + LayerNorm residual (``Proposed_model.py:141-188``)
+* ``PureGatedFusionNetwork``    — v2 post-concat soft gate, bias init +2.0
+  (``Proposed_model_v2.py:604-637``)
+* ``TARGFusionNetwork``         — v3 target-anchored residual gating
+  (``Proposed_model_v3.py:175-236``)
+* ``TextGuidedFusionNetwork``   — v4 text-anchored gates on image/temporal
+  (``Proposed_model_v4.py:152-198``)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visuelle2_tpu.models.norms import BatchNorm1d
+
+
+def _flatten_text(text_encoding):
+    """[B, 4, E] -> [B, 4E] (GTM_Visuelle2.py:167)."""
+    return text_encoding.reshape(text_encoding.shape[0], -1)
+
+
+class GTMFusionNetwork(nn.Module):
+    """Simple concat fusion: img(E) ⊕ text(4E) ⊕ dummy(E) -> BN -> Linear ->
+    ReLU -> Dropout -> Linear(H)."""
+
+    embedding_dim: int
+    hidden_dim: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, img, text, dummy, *, train=False, deterministic=True):
+        x = jnp.concatenate([img, _flatten_text(text), dummy], axis=-1)
+        D = x.shape[-1]
+        x = BatchNorm1d(D, name="bn")(x, use_running_average=not train)
+        x = nn.relu(nn.Dense(D, use_bias=False, name="fc1")(x))
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.hidden_dim, name="fc2")(x)
+
+
+class FusionBlock(nn.Module):
+    """BN -> Linear -> ReLU -> Dropout -> Linear (M4FT_Visuelle2.py:161-173)."""
+
+    hidden_dim: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, train=False, deterministic=True):
+        x = BatchNorm1d(self.hidden_dim, name="bn")(x, use_running_average=not train)
+        x = nn.relu(nn.Dense(self.hidden_dim, name="fc1")(x))
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.hidden_dim, name="fc2")(x)
+
+
+class M4FTFusionNetwork(nn.Module):
+    """Hierarchical summation fusion (M4FT_Visuelle2.py:175-202):
+    out_tt = FB(temp+text); out_tv = FB(text+vis);
+    final = FB(out_tt + out_tv + temp + text + vis)."""
+
+    hidden_dim: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, e_temp, e_text, e_vis, *, train=False, deterministic=True):
+        out_tt = FusionBlock(self.hidden_dim, self.dropout, name="fusion_temp_text")(
+            e_temp + e_text, train=train, deterministic=deterministic)
+        out_tv = FusionBlock(self.hidden_dim, self.dropout, name="fusion_text_vis")(
+            e_text + e_vis, train=train, deterministic=deterministic)
+        return FusionBlock(self.hidden_dim, self.dropout, name="fusion_final")(
+            out_tt + out_tv + e_temp + e_text + e_vis,
+            train=train, deterministic=deterministic)
+
+
+class GatedResidualBlock(nn.Module):
+    """LayerNorm(x + x·σ(Wx+b)) (Proposed_model.py:141-154)."""
+
+    @nn.compact
+    def __call__(self, x):
+        gate = jax.nn.sigmoid(nn.Dense(x.shape[-1], name="gate_fc")(x))
+        return nn.LayerNorm(name="norm")(x + x * gate)
+
+
+class ResidualGatedFusionNetwork(nn.Module):
+    """v1: per-modality gated residual blocks, concat, project
+    (Proposed_model.py:156-188)."""
+
+    embedding_dim: int
+    hidden_dim: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, img, text, dummy, *, train=False, deterministic=True):
+        g_img = GatedResidualBlock(name="img_gate")(img)
+        g_text = GatedResidualBlock(name="text_gate")(_flatten_text(text))
+        g_dummy = GatedResidualBlock(name="dummy_gate")(dummy)
+        x = jnp.concatenate([g_img, g_text, g_dummy], axis=-1)
+        x = nn.relu(nn.Dense(self.hidden_dim, name="fusion_fc")(x))
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+class PureGatedFusionNetwork(nn.Module):
+    """v2: concat all, soft gate x + x·σ(Wx + 2.0), project
+    (Proposed_model_v2.py:604-637)."""
+
+    embedding_dim: int
+    hidden_dim: int
+    dropout: float = 0.2
+    gate_bias_init: float = 2.0
+
+    @nn.compact
+    def __call__(self, img, text, dummy, *, train=False, deterministic=True):
+        x = jnp.concatenate([img, _flatten_text(text), dummy], axis=-1)
+        gate = jax.nn.sigmoid(nn.Dense(
+            x.shape[-1], name="gate_fc",
+            bias_init=nn.initializers.constant(self.gate_bias_init))(x))
+        x = x + x * gate
+        x = nn.relu(nn.Dense(self.hidden_dim, name="fusion_fc")(x))
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+class TARGFusionNetwork(nn.Module):
+    """v3 TARG: anchor modality Q kept as identity, contexts gated by
+    σ(W[Q;Cᵢ]) (bias 0) and added; M4FT FusionBlock on top
+    (Proposed_model_v3.py:175-236)."""
+
+    hidden_dim: int
+    query_modality: str = "text"  # text | image | temporal
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, e_temp, e_text, e_vis, *, train=False, deterministic=True):
+        anchors = {
+            "text": (e_text, e_vis, e_temp),
+            "image": (e_vis, e_text, e_temp),
+            "temporal": (e_temp, e_text, e_vis),
+        }
+        q, c1, c2 = anchors[self.query_modality]
+        g1 = jax.nn.sigmoid(nn.Dense(self.hidden_dim, name="gate_fc1")(
+            jnp.concatenate([q, c1], axis=-1)))
+        g2 = jax.nn.sigmoid(nn.Dense(self.hidden_dim, name="gate_fc2")(
+            jnp.concatenate([q, c2], axis=-1)))
+        fused = q + c1 * g1 + c2 * g2
+        return FusionBlock(self.hidden_dim, self.dropout, name="fusion_final")(
+            fused, train=train, deterministic=deterministic)
+
+
+class TextGuidedFusionNetwork(nn.Module):
+    """v4 TG-Fusion: text-anchored soft gates on image and temporal, concat,
+    Linear -> LayerNorm -> ReLU -> Dropout (Proposed_model_v4.py:152-198)."""
+
+    embedding_dim: int
+    hidden_dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, img, text, dummy, *, train=False, deterministic=True):
+        text_flat = _flatten_text(text)
+        img_gate = jax.nn.sigmoid(nn.Dense(img.shape[-1], name="img_gate_fc")(
+            jnp.concatenate([text_flat, img], axis=-1)))
+        gated_img = img + img * img_gate
+        dummy_gate = jax.nn.sigmoid(nn.Dense(dummy.shape[-1], name="dummy_gate_fc")(
+            jnp.concatenate([text_flat, dummy], axis=-1)))
+        gated_dummy = dummy + dummy * dummy_gate
+        x = jnp.concatenate([gated_img, text_flat, gated_dummy], axis=-1)
+        x = nn.Dense(self.hidden_dim, name="fusion_fc")(x)
+        x = nn.relu(nn.LayerNorm(name="fusion_norm")(x))
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)

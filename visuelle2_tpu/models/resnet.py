@@ -30,7 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+STAGE_BLOCKS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    # One bottleneck per stage: same code paths/strides/channels at toy cost,
+    # for tests and CPU smoke runs.
+    "tiny": (1, 1, 1, 1),
+}
 
 
 class BatchNorm(nn.Module):

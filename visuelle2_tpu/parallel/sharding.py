@@ -1,0 +1,34 @@
+"""Parameter sharding rules (tensor parallelism over the ``model`` axis).
+
+Greenfield relative to the reference (it has no parallelism, SURVEY.md §2.4).
+Rule: 2-D kernels whose output dim is wide enough and divisible by the model
+axis shard that dim (column parallel); embedding tables shard the feature dim.
+Everything else replicates.  XLA inserts the all-gathers/reduce-scatters over
+ICI — no explicit collectives in model code.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def infer_param_sharding(variables, mesh: Mesh, min_shard_dim: int = 64):
+    """Pytree of NamedShardings for a variables dict."""
+    model_size = mesh.shape["model"]
+
+    def rule(path, leaf):
+        if model_size > 1 and hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            last = leaf.shape[-1]
+            if last >= min_shard_dim and last % model_size == 0:
+                spec = [None] * (leaf.ndim - 1) + ["model"]
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, variables)
+
+
+def shard_variables(variables, mesh: Mesh):
+    """Place a variables pytree on the mesh per the inference rule."""
+    shardings = infer_param_sharding(variables, mesh)
+    return jax.tree_util.tree_map(jax.device_put, variables, shardings)

@@ -1,0 +1,86 @@
+"""Orbax checkpointing keyed on min ``val_wWAPE``.
+
+Replaces Lightning's ``ModelCheckpoint(monitor="val_wWAPE", mode="min",
+save_top_k=2)`` (``/root/reference/train_dl.py:151-157``; top-k 1 for the
+GTM family, ``train_GTM_visuelle2.py:119-125``).  Saves params + batch_stats
++ opt_state + step so mid-training resume works (the reference never wires
+``ckpt_path=`` into ``fit`` — we support it).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, *, save_top_k: int = 2,
+                 monitor: str = "val_wWAPE", mode: str = "min"):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self.monitor = monitor
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=save_top_k,
+            best_fn=lambda m: m[monitor],
+            best_mode=mode,
+        )
+        self._mgr = ocp.CheckpointManager(directory, options=options)
+        self.directory = directory
+
+    def save(self, epoch: int, state, metrics: Dict[str, float]):
+        payload = {
+            "params": state.params,
+            "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self._mgr.save(
+            epoch, args=ocp.args.StandardSave(payload),
+            metrics={k: float(v) for k, v in metrics.items() if k != "epoch"})
+        self._mgr.wait_until_finished()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    @property
+    def best_model_path(self) -> Optional[str]:
+        step = self.best_step()
+        return None if step is None else os.path.join(self.directory, str(step))
+
+    def restore(self, state, step: Optional[int] = None):
+        """Restore into an existing TrainState template (shapes/dtypes)."""
+        step = step if step is not None else self.best_step()
+        template = {
+            "params": state.params,
+            "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return state.replace(
+            params=restored["params"],
+            batch_stats=type(state.batch_stats)(restored["batch_stats"])
+            if state.batch_stats else state.batch_stats,
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def restore_params(self, params_template, step: Optional[int] = None,
+                       batch_stats_template=None):
+        """Params-only restore for inference (forecast CLI)."""
+        step = step if step is not None else self.best_step()
+        template = {"params": params_template,
+                    "batch_stats": batch_stats_template or {}}
+        # Partial restore: read the full tree, take what we need.
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore({
+                "params": params_template,
+                "batch_stats": batch_stats_template or {},
+                "opt_state": None, "step": None}))
+        return restored["params"], restored["batch_stats"]
+
+    def close(self):
+        self._mgr.close()

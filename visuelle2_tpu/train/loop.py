@@ -1,0 +1,219 @@
+"""Training + evaluation loops.
+
+Replaces the reference's PyTorch-Lightning harness (``pl.Trainer`` with
+per-epoch validation and a ``val_wWAPE``-monitored checkpoint,
+``/root/reference/train_dl.py:151-175``) with an explicit jit-compiled loop:
+
+* one compiled ``train_step`` (value_and_grad + Adafactor update + BatchNorm
+  stat update), donated state, batch sharded over the mesh's ``data`` axis;
+* one compiled ``eval_step`` returning *partial metric sums* that accumulate
+  exactly across batches and reduce across devices — the whole test split
+  scores in one pass of compiled steps (SURVEY.md §7.8);
+* per-epoch ``val_wWAPE``/``val_mae`` computed from the sums (definitions at
+  ``CrossAttnRNN21.py:236-241``) and orbax checkpointing keyed on min
+  ``val_wWAPE``.
+
+Loss matches the reference: plain MSE between (window-flattened) targets and
+forecasts (``CrossAttnRNN210.py:247``, ``GTM_Visuelle2.py:278``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import core, struct
+
+from visuelle2_tpu.data.loader import BatchLoader
+from visuelle2_tpu.ops.metrics import finalize_metrics
+from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from visuelle2_tpu.train import optim as optim_lib
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: Any
+    tx: Any = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=jax.tree_util.tree_map(lambda p, u: p + u, self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt,
+        )
+
+
+def target_and_pred(batch, forecast):
+    """Align target with a model forecast (both -> [N, H]).
+
+    stfore: y [B, W, H] -> [B·W, H]; demand: ts [B, 12]; forecasts of
+    trailing singleton dims are squeezed (CrossAttnRNNDemand returns
+    [N, 12, 1], :415).
+    """
+    if "y" in batch and batch.get("X") is not None:
+        y = batch["y"]
+        target = y.reshape(-1, y.shape[-1])
+    else:
+        target = batch["ts"]
+    f = forecast
+    if f.ndim == 3 and f.shape[-1] == 1 and target.ndim == 2:
+        f = f[..., 0]
+    return target, f.reshape(target.shape)
+
+
+def expand_mask(batch, target):
+    """Per-item mask -> per-row mask matching the flattened window axis."""
+    mask = batch.get("mask")
+    if mask is None:
+        return jnp.ones((target.shape[0],), target.dtype)
+    reps = target.shape[0] // mask.shape[0]
+    return jnp.repeat(mask, reps, axis=0) if reps > 1 else mask
+
+
+def mse_loss(target, pred, row_mask):
+    err = (target - pred) ** 2
+    denom = jnp.maximum(row_mask.sum() * target.shape[-1], 1.0)
+    return jnp.sum(err * row_mask[:, None]) / denom
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 50              # train_dl.py:203
+    batch_size: int = 128         # train_dl.py:191
+    seed: int = 21                # train_dl.py:190
+    grad_clip: Optional[float] = None  # 0.5 for the transformer family
+    ckpt_dir: Optional[str] = None
+    log_every: int = 50
+    norm_scalar: float = 53.0
+    data_parallel: bool = True
+
+
+class Trainer:
+    """Compiled train/eval driver for any registry model."""
+
+    def __init__(self, model, config: TrainConfig, mesh=None):
+        self.model = model
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh(model=1)
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated_sharding(self.mesh)
+        self._train_step = None
+        self._eval_step = None
+        self.history = []
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, example_batch) -> TrainState:
+        rngs = {"params": jax.random.key(self.config.seed),
+                "dropout": jax.random.key(self.config.seed + 1),
+                "sampling": jax.random.key(self.config.seed + 2)}
+        variables = self.model.init(rngs, example_batch, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", core.FrozenDict())
+        tx = optim_lib.make_optimizer(params, self.config.grad_clip)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=tx.init(params),
+                           tx=tx)
+        # Replicate state over the mesh (params fit on one chip; data-parallel).
+        return jax.device_put(state, self._replicated)
+
+    # ------------------------------------------------------------- compiled
+    def _build_train_step(self):
+        model = self.model
+        cfg = self.config
+
+        def step_fn(state: TrainState, batch, rng):
+            drop_rng, samp_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                out, mutated = model.apply(
+                    variables, batch, train=True,
+                    rngs={"dropout": drop_rng, "sampling": samp_rng},
+                    mutable=["batch_stats"])
+                forecast, _aux = out
+                target, pred = target_and_pred(batch, forecast)
+                row_mask = expand_mask(batch, target)
+                loss = mse_loss(target, pred, row_mask)
+                return loss, mutated.get("batch_stats", state.batch_stats)
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            new_state = state.apply_gradients(grads, new_stats)
+            return new_state, {"loss": loss}
+
+        return jax.jit(step_fn, donate_argnums=0)
+
+    def _build_eval_step(self):
+        model = self.model
+        cfg = self.config
+
+        def step_fn(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            (forecast, _aux) = model.apply(variables, batch, train=False)
+            target, pred = target_and_pred(batch, forecast)
+            row_mask = expand_mask(batch, target)
+            s = cfg.norm_scalar
+            abs_err = jnp.sum(jnp.abs(target - pred) * row_mask[:, None]) * s
+            abs_gt = jnp.sum(jnp.abs(target) * row_mask[:, None]) * s
+            count = row_mask.sum() * target.shape[-1]
+            return {"abs_err": abs_err, "abs_gt": abs_gt, "count": count}
+
+        return jax.jit(step_fn)
+
+    # ------------------------------------------------------------------ api
+    def train_step(self, state, batch, rng):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        batch = jax.device_put(batch, self._batch_sharding)
+        return self._train_step(state, batch, rng)
+
+    def eval_step(self, state, batch):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        batch = jax.device_put(batch, self._batch_sharding)
+        return self._eval_step(state.params, state.batch_stats, batch)
+
+    def evaluate(self, state, loader: BatchLoader) -> Dict[str, float]:
+        sums = None
+        for batch in loader:
+            part = self.eval_step(state, batch)
+            sums = part if sums is None else jax.tree_util.tree_map(
+                jnp.add, sums, part)
+        sums = {k: float(v) for k, v in sums.items()}
+        out = finalize_metrics(sums)
+        return {"val_mae": out["mae"], "val_wWAPE": out["wape"]}
+
+    def fit(self, train_loader: BatchLoader, val_loader: BatchLoader,
+            state: Optional[TrainState] = None, checkpointer=None,
+            log_fn: Callable[[Dict], None] = None) -> TrainState:
+        if state is None:
+            state = self.init_state(next(iter(train_loader)))
+        rng = jax.random.key(self.config.seed + 1000)
+        t0 = time.time()
+        for epoch in range(self.config.epochs):
+            losses = []
+            for batch in train_loader:
+                state, m = self.train_step(state, batch, rng)
+                losses.append(m["loss"])
+            metrics = self.evaluate(state, val_loader)
+            metrics.update(epoch=epoch,
+                           train_loss=float(jnp.mean(jnp.stack(losses))),
+                           wall_s=time.time() - t0)
+            self.history.append(metrics)
+            if log_fn:
+                log_fn(metrics)
+            if checkpointer is not None:
+                checkpointer.save(epoch, state, metrics)
+        return state
