@@ -1,0 +1,81 @@
+"""Benchmark: flagship demand-forecast inference throughput on TPU.
+
+Measures forecasts/sec/chip for the Gated-v4 demand model (the reference's
+north-star config: ResNet-101 image branch at 299x299, 52-week trend
+transformer, text/temporal fusion, 12-week forecast) on the full end-to-end
+compiled path — uint8 images in, normalize fused on device, bfloat16
+backbone.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the equivalent-architecture torch-CPU
+forward recorded in BASELINE_MEASURED.json (the container ships no GPU and no
+torchvision/lightning/fairseq, so the reference's own GPU numbers cannot be
+reproduced here; see BASELINE.md).  If that file is missing, vs_baseline is
+reported as 0.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 128
+IMAGE = 299
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.models import VocabSizes, build
+
+    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+                  image_arch="resnet101", image_dtype=jnp.bfloat16)
+    batch = _synthetic_batch(BATCH, IMAGE)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+
+    @jax.jit
+    def forward(variables, batch):
+        forecast, _ = model.apply(variables, batch, train=False)
+        return forecast
+
+    variables = jax.device_put(variables)
+    batch = jax.device_put(batch)
+    jax.block_until_ready(forward(variables, batch))  # compile
+    # Warmup
+    for _ in range(2):
+        jax.block_until_ready(forward(variables, batch))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    n_chips = max(1, len(jax.devices()))
+    fps_chip = BATCH / dt / n_chips
+
+    baseline = 0.0
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.isfile(path):
+        with open(path) as f:
+            baseline = float(json.load(f).get("torch_cpu_forecasts_per_sec", 0.0))
+
+    print(json.dumps({
+        "metric": "demand_forecasts_per_sec_per_chip",
+        "value": round(fps_chip, 2),
+        "unit": "forecasts/s/chip",
+        "vs_baseline": round(fps_chip / baseline, 2) if baseline else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

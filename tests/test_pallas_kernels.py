@@ -1,0 +1,67 @@
+"""Pallas kernels vs their XLA reference implementations (interpret mode on
+CPU; the same kernels compile with Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visuelle2_tpu.ops.attention import AdditiveAttention
+from visuelle2_tpu.ops.gru import GRU
+from visuelle2_tpu.ops.pallas import (
+    fused_additive_attention,
+    fused_gated_residual,
+    fused_gru_sequence,
+)
+
+
+@pytest.mark.parametrize("weight_on", ["inputs", "projected"])
+def test_fused_additive_attention_parity(rng, weight_on):
+    B, L, De, Dd, A = 10, 52, 32, 24, 32
+    enc = rng.standard_normal((B, L, De)).astype(np.float32)
+    dec = rng.standard_normal((B, Dd)).astype(np.float32)
+
+    module = AdditiveAttention(A, weight_on=weight_on)
+    variables = module.init(jax.random.key(0), jnp.asarray(enc), jnp.asarray(dec))
+    want, want_alpha = module.apply(variables, jnp.asarray(enc), jnp.asarray(dec))
+
+    p = variables["params"]
+    got, got_alpha = fused_additive_attention(
+        jnp.asarray(enc), jnp.asarray(dec),
+        p["encoder_linear"]["kernel"], p["decoder_linear"]["kernel"],
+        p["attn_linear"]["kernel"], p["attn_linear"]["bias"],
+        weight_on=weight_on, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_alpha), np.asarray(want_alpha), atol=1e-5)
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_fused_gated_residual_parity(rng, residual):
+    B, D, C = 37, 48, 96
+    x = rng.standard_normal((B, D)).astype(np.float32)
+    ctx = rng.standard_normal((B, C)).astype(np.float32)
+    wx = (rng.standard_normal((D, D)) * 0.1).astype(np.float32)
+    wc = (rng.standard_normal((C, D)) * 0.1).astype(np.float32)
+    b = rng.standard_normal((D,)).astype(np.float32)
+
+    g = jax.nn.sigmoid(x @ wx + ctx @ wc + b)
+    want = x + x * g if residual else x * g
+    got = fused_gated_residual(jnp.asarray(x), jnp.asarray(ctx), wx, wc, b,
+                               residual=residual, block_b=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_gru_sequence_parity(rng):
+    B, T, I, H = 9, 12, 8, 16
+    x = rng.standard_normal((B, T, I)).astype(np.float32)
+    module = GRU(H)
+    variables = module.init(jax.random.key(0), jnp.asarray(x))
+    want, want_h = module.apply(variables, jnp.asarray(x))
+
+    p = variables["params"]
+    got, got_h = fused_gru_sequence(
+        jnp.asarray(x), p["w_i"], p["w_h"], p["b_i"], p["b_h"],
+        block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), atol=1e-5)

@@ -1,0 +1,86 @@
+"""Shared CLI plumbing: dataset/loader construction, seeding, logging.
+
+Preserves the reference's flag surface (SURVEY.md §5) while replacing the
+stdout-grep checkpoint handoff of ``run_all.sh`` with returned paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from visuelle2_tpu.data.images import ImageStore
+from visuelle2_tpu.data.loader import BatchLoader
+from visuelle2_tpu.data.pipeline import (
+    load_label_dicts,
+    load_norm_scalar,
+    load_visuelle2,
+)
+from visuelle2_tpu.models.base import VocabSizes
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--dataset_path", type=str, default="../visuelle2/")
+    p.add_argument("--seed", type=int, default=21)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--quick_debug", action="store_true")
+    p.add_argument("--image_arch", type=str, default="resnet101",
+                   choices=["resnet50", "resnet101", "tiny"])
+    p.add_argument("--image_size", type=int, default=299)
+    p.add_argument("--bf16_backbone", action="store_true",
+                   help="run the image backbone in bfloat16 (TPU MXU)")
+    # wandb-compatible flags (kept for CLI parity; logging is JSONL locally)
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_entity", type=str, default="")
+    p.add_argument("--wandb_project", type=str, default="")
+    p.add_argument("--wandb_run", type=str, default="")
+    return p
+
+
+def build_loaders(args, *, demand: bool, output_len: int,
+                  splits=("train", "test")) -> Tuple[dict, VocabSizes, float]:
+    """Returns ({split: BatchLoader}, vocab, norm_scalar)."""
+    cat_dict, col_dict, fab_dict = load_label_dicts(args.dataset_path)
+    vocab = VocabSizes.from_dicts(cat_dict, col_dict, fab_dict)
+    norm_scalar = load_norm_scalar(args.dataset_path)
+
+    loaders = {}
+    for split in splits:
+        arrays = load_visuelle2(args.dataset_path, split, demand=demand,
+                                output_len=output_len)
+        if args.quick_debug:
+            arrays = arrays.subset(1000)  # train_dl.py:80-82
+        store = ImageStore.build(
+            os.path.join(args.dataset_path, "images"), arrays.image_paths,
+            cache_file=ImageStore.cache_path(args.dataset_path, split),
+            size=args.image_size)
+        loaders[split] = BatchLoader(
+            arrays, store, args.batch_size,
+            shuffle=(split == "train"), seed=args.seed,
+            drop_remainder=(split == "train"))
+    return loaders, vocab, norm_scalar
+
+
+class JsonlLogger:
+    """Local metrics log (wandb stand-in; SURVEY.md §2.5)."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def __call__(self, metrics: dict):
+        line = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+                for k, v in metrics.items()}
+        print("  ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                        for k, v in line.items()))
+        if self._f:
+            self._f.write(json.dumps(line) + "\n")
+            self._f.flush()

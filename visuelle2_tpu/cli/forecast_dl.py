@@ -1,0 +1,81 @@
+"""Evaluate a trained CrossAttnRNN checkpoint — counterpart of the reference's
+``forecast_dl.py`` (``/root/reference/forecast_dl.py:201-228`` flags).
+
+Prints WAPE / MAE / GFLOPs-per-sample / forecasts-per-sec-per-chip; the whole
+test split is scored in one sharded compiled pass (SURVEY.md §7.8) instead of
+a host-side no_grad loop.  Horizon auto-selection matches
+``forecast_dl.py:222-226``: demand -> 12, task 2-10 -> 10.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from visuelle2_tpu.cli.common import add_common_args, build_loaders
+from visuelle2_tpu.eval.forecast import score_split
+from visuelle2_tpu.models import build
+from visuelle2_tpu.train.checkpoint import CheckpointManager
+from visuelle2_tpu.train.loop import Trainer, TrainConfig
+
+
+def run(args):
+    print(args)
+    demand = bool(args.new_product)
+    output_len = 12 if demand else (10 if args.task_mode == 1 else 1)
+    loaders, vocab, norm_scalar = build_loaders(
+        args, demand=demand, output_len=output_len, splits=("test",))
+
+    dims = dict(attention_dim=args.attention_dim,
+                embedding_dim=args.embedding_dim, hidden_dim=args.hidden_dim,
+                vocab=vocab, use_img=bool(args.use_img),
+                image_arch=args.image_arch,
+                image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32)
+    if demand:
+        model = build("cross_attn_rnn_demand", out_len=12,
+                      use_teacher_forcing=False, **dims)
+    elif args.task_mode == 0:
+        model = build("cross_attn_rnn_21", out_len=1, **dims)
+    else:
+        model = build("cross_attn_rnn_210", out_len=10,
+                      use_teacher_forcing=False, **dims)
+
+    # Init a template then restore checkpointed params into it.
+    trainer = Trainer(model, TrainConfig(norm_scalar=norm_scalar))
+    state = trainer.init_state(next(iter(loaders["test"])))
+    if args.ckpt_path:
+        ckpt = CheckpointManager(args.ckpt_path)
+        state = ckpt.restore(state)
+        ckpt.close()
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    result = score_split(model, variables, loaders["test"],
+                         norm_scalar=norm_scalar)
+    print(result.summary())
+    print(f"WAPE: {result.wape}")
+    print(f"MAE: {result.mae}")
+    if result.gflops_per_sample is not None:
+        print(f"GFLOPS: {result.gflops_per_sample}")
+    return result
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--new_product", type=int, default=0)
+    p.add_argument("--embedding_dim", type=int, default=512)
+    p.add_argument("--attention_dim", type=int, default=512)
+    p.add_argument("--hidden_dim", type=int, default=512)
+    p.add_argument("--use_img", type=int, default=1)
+    p.add_argument("--task_mode", type=int, default=0, help="0->2-1, 1->2-10")
+    p.add_argument("--ckpt_path", type=str, default="",
+                   help="checkpoint directory written by train_dl")
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

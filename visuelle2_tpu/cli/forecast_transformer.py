@@ -1,0 +1,53 @@
+"""Evaluate a GTM-family checkpoint — counterpart of the reference's
+``forecast_GTM.py`` / ``forecast_M4FT.py`` / ``forecast_Gated*.py``
+(``/root/reference/forecast_Gated.py:143-159`` flags), consolidated behind
+``--model``.  Prints WAPE / MAE / GFLOPs and forecasts/sec/chip from the
+one-pass sharded scorer.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from visuelle2_tpu.cli.common import add_common_args, build_loaders
+from visuelle2_tpu.cli.train_transformer import TRANSFORMER_MODELS, make_model
+from visuelle2_tpu.eval.forecast import score_split
+from visuelle2_tpu.train.checkpoint import CheckpointManager
+from visuelle2_tpu.train.loop import Trainer, TrainConfig
+
+
+def run(args):
+    print(args)
+    demand = bool(args.demand)
+    loaders, vocab, norm_scalar = build_loaders(
+        args, demand=demand, output_len=args.output_len, splits=("test",))
+    model = make_model(args, vocab)
+
+    trainer = Trainer(model, TrainConfig(norm_scalar=norm_scalar))
+    state = trainer.init_state(next(iter(loaders["test"])))
+    if args.ckpt_path:
+        ckpt = CheckpointManager(args.ckpt_path)
+        state = ckpt.restore(state)
+        ckpt.close()
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    result = score_split(model, variables, loaders["test"],
+                         norm_scalar=norm_scalar)
+    print(result.summary())
+    print(f"WAPE: {result.wape}")
+    print(f"MAE: {result.mae}")
+    return result
+
+
+def build_parser(default_model="gtm"):
+    from visuelle2_tpu.cli.train_transformer import build_parser as train_parser
+
+    p = train_parser(default_model)
+    p.add_argument("--ckpt_path", type=str, default="")
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

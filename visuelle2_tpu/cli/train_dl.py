@@ -1,0 +1,82 @@
+"""Train CrossAttnRNN{21,210,Demand} — CLI-compatible with the reference's
+``train_dl.py`` (``/root/reference/train_dl.py:187-216`` flag surface):
+``--task_mode 0`` -> 2-1, ``--task_mode 1`` -> 2-10, ``--demand 1`` -> Demand.
+
+Differences by design: single JAX train loop + orbax checkpoints; the best
+checkpoint path is printed AND returned from ``run`` (replacing run_all.sh's
+stdout grep, ``run_all.sh:6``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax.numpy as jnp
+
+from visuelle2_tpu.cli.common import JsonlLogger, add_common_args, build_loaders
+from visuelle2_tpu.models import build
+from visuelle2_tpu.train.checkpoint import CheckpointManager
+from visuelle2_tpu.train.loop import TrainConfig, Trainer
+
+
+def run(args):
+    print(args)
+    demand = bool(args.demand)
+    output_len = 12 if demand else args.output_len
+    loaders, vocab, norm_scalar = build_loaders(
+        args, demand=demand, output_len=output_len)
+    print(f"Completed dataset loading procedure. Train batches: "
+          f"{len(loaders['train'])}, test batches: {len(loaders['test'])}")
+
+    dims = dict(attention_dim=args.attention_dim,
+                embedding_dim=args.embedding_dim, hidden_dim=args.hidden_dim,
+                vocab=vocab, use_img=bool(args.use_img),
+                image_arch=args.image_arch,
+                image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32)
+    if demand:
+        model = build("cross_attn_rnn_demand", out_len=12,
+                      use_teacher_forcing=bool(args.use_teacher_forcing),
+                      teacher_forcing_ratio=args.teacher_forcing_ratio, **dims)
+    elif args.task_mode == 0:
+        print("Initializing Full-Feature 2-1 Model...")
+        model = build("cross_attn_rnn_21", out_len=args.output_len, **dims)
+    else:
+        model = build("cross_attn_rnn_210", out_len=args.output_len,
+                      use_teacher_forcing=bool(args.use_teacher_forcing),
+                      teacher_forcing_ratio=args.teacher_forcing_ratio, **dims)
+
+    trainer = Trainer(model, TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
+        norm_scalar=norm_scalar))
+    ckpt = CheckpointManager(args.ckpt_dir, save_top_k=2)  # train_dl.py:156
+    log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"))
+
+    t0 = time.time()
+    trainer.fit(loaders["train"], loaders["test"], checkpointer=ckpt, log_fn=log)
+    elapsed = time.time() - t0
+    print(f"[Training Completed] Time: {elapsed/60:.2f} minutes ({elapsed:.2f} seconds)")
+    print(ckpt.best_model_path)
+    return ckpt.best_model_path
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--demand", type=int, default=0)
+    p.add_argument("--embedding_dim", type=int, default=512)
+    p.add_argument("--attention_dim", type=int, default=512)
+    p.add_argument("--hidden_dim", type=int, default=512)
+    p.add_argument("--output_len", type=int, default=10)
+    p.add_argument("--use_img", type=int, default=1)
+    p.add_argument("--task_mode", type=int, default=0, help="0->2-1, 1->2-10")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--use_teacher_forcing", action="store_true")
+    p.add_argument("--teacher_forcing_ratio", type=float, default=0.5)
+    p.add_argument("--ckpt_dir", type=str, default="ckpt_CrossAttnRNN210/")
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

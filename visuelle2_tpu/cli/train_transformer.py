@@ -1,0 +1,88 @@
+"""Train a GTM-family transformer model (GTM / M4FT / Gated v1–v4).
+
+Consolidates the reference's six copy-paste trainers
+(``/root/reference/train_GTM_visuelle2.py``, ``train_M4FT_visuelle2.py``,
+``train_Gated_visuelle2{,_v2,_v3,_v4}.py``) behind one ``--model`` flag while
+keeping every hyperparameter flag (``train_GTM_visuelle2.py:151-175``) and the
+v3-only ``--query_modality`` (``train_Gated_visuelle2_v3.py:165-170``).
+Transformer family trains with gradient_clip 0.5
+(``train_GTM_visuelle2.py:139``) and save_top_k=1 (``:124``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax.numpy as jnp
+
+from visuelle2_tpu.cli.common import JsonlLogger, add_common_args, build_loaders
+from visuelle2_tpu.models import build
+from visuelle2_tpu.train.checkpoint import CheckpointManager
+from visuelle2_tpu.train.loop import TrainConfig, Trainer
+
+TRANSFORMER_MODELS = ["gtm", "m4ft", "gated_v1", "gated_v2", "gated_v3", "gated_v4"]
+
+
+def make_model(args, vocab):
+    return build(
+        args.model,
+        embedding_dim=args.embedding_dim,
+        hidden_dim=args.hidden_dim,
+        output_len=args.output_len,
+        num_heads=args.num_attn_heads,
+        num_layers=args.num_hidden_layers,
+        vocab=vocab,
+        use_encoder_mask=bool(args.use_encoder_mask),
+        autoregressive=bool(args.autoregressive),
+        query_modality=args.query_modality,
+        image_arch=args.image_arch,
+        image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32,
+    )
+
+
+def run(args):
+    print(args)
+    demand = bool(args.demand)
+    loaders, vocab, norm_scalar = build_loaders(
+        args, demand=demand, output_len=args.output_len)
+    model = make_model(args, vocab)
+
+    trainer = Trainer(model, TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
+        grad_clip=0.5, norm_scalar=norm_scalar))
+    ckpt = CheckpointManager(args.ckpt_dir, save_top_k=1)
+    log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"))
+
+    t0 = time.time()
+    trainer.fit(loaders["train"], loaders["test"], checkpointer=ckpt, log_fn=log)
+    print(f"[Training Completed] Time: {(time.time() - t0)/60:.2f} minutes")
+    print(f"Best Model Path: {ckpt.best_model_path}")
+    return ckpt.best_model_path
+
+
+def build_parser(default_model="gtm"):
+    p = argparse.ArgumentParser(description="GTM-family trainer on Visuelle 2.0")
+    add_common_args(p)
+    p.add_argument("--model", type=str, default=default_model,
+                   choices=TRANSFORMER_MODELS)
+    p.add_argument("--ckpt_dir", type=str, default="ckpt_gtm/")
+    p.add_argument("--demand", type=int, default=1)
+    p.add_argument("--output_len", type=int, default=12)
+    p.add_argument("--embedding_dim", type=int, default=32)
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--num_attn_heads", type=int, default=4)
+    p.add_argument("--num_hidden_layers", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--use_img", type=int, default=1)
+    p.add_argument("--use_text", type=int, default=1)
+    p.add_argument("--use_encoder_mask", type=int, default=1)
+    p.add_argument("--autoregressive", type=int, default=0)
+    p.add_argument("--query_modality", type=str, default="text",
+                   choices=["text", "image", "temporal"])
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

@@ -4,12 +4,15 @@ The reference decodes, resizes and ImageNet-normalizes every JPEG on every
 ``__getitem__`` inside DataLoader worker processes
 (``/root/reference/dataset.py:51-66``).  TPU-native redesign:
 
-* JPEGs are decoded **once** at ingest to a ``uint8 [N, 299, 299, 3]`` memmap
-  (NHWC, the natural TPU conv layout).  Random-access batch assembly is then a
-  pure memory gather — no per-step PIL work.
+* JPEGs are decoded **once** at ingest to a ``uint8 [U, 299, 299, 3]`` array
+  (NHWC, the natural TPU conv layout) over the *unique* image paths — VISUELLE2
+  rows are per (product, store) and share product photos, so dedup cuts the
+  cache by an order of magnitude; ``row_to_img`` maps dataset rows to unique
+  images.  Batch assembly is then a pure memory gather (optionally via the
+  native C++ prefetch engine) — no per-step PIL work.
 * The ``÷255`` + ImageNet mean/std normalization runs **on device**, fused by
   XLA into the first convolution's input (see ``normalize_images``), so only
-  uint8 bytes cross the host->device boundary (4x less PCIe/DMA traffic than
+  uint8 bytes cross the host->device boundary (4x less DMA traffic than
   shipping float32).
 """
 
@@ -41,49 +44,51 @@ def normalize_images(uint8_nhwc, dtype=None):
 
 
 class ImageStore:
-    """Decode-once memmapped uint8 image cache.
+    """Decode-once, deduplicated uint8 image cache."""
 
-    ``build`` decodes the JPEG tree once (PIL, bilinear resize to 299x299 —
-    same resampling as torchvision ``Resize((299,299))``) and writes a
-    ``.npy`` memmap next to the dataset.  ``gather`` assembles a batch by
-    integer indexing into the memmap.
-    """
-
-    def __init__(self, pixels: np.ndarray):
+    def __init__(self, pixels: np.ndarray, row_to_img: Optional[np.ndarray] = None):
         assert pixels.dtype == np.uint8 and pixels.ndim == 4
         self.pixels = pixels
+        if row_to_img is None:
+            row_to_img = np.arange(pixels.shape[0], dtype=np.int64)
+        self.row_to_img = np.asarray(row_to_img, np.int64)
 
     def __len__(self) -> int:
+        return int(self.row_to_img.shape[0])
+
+    @property
+    def num_unique(self) -> int:
         return int(self.pixels.shape[0])
 
-    def gather(self, indices) -> np.ndarray:
-        return np.ascontiguousarray(self.pixels[np.asarray(indices)])
+    def image_indices(self, rows) -> np.ndarray:
+        return self.row_to_img[np.asarray(rows)]
+
+    def gather(self, rows) -> np.ndarray:
+        return np.ascontiguousarray(self.pixels[self.image_indices(rows)])
 
     @staticmethod
     def cache_path(dataset_path: str, split: str) -> str:
-        return os.path.join(dataset_path, f"images_{split}_{IMAGE_SIZE}.npy")
+        return os.path.join(dataset_path, f"images_{split}_{IMAGE_SIZE}.npz")
 
     @classmethod
     def build(cls, img_root: str, image_paths: Sequence[str],
               cache_file: Optional[str] = None,
               size: int = IMAGE_SIZE) -> "ImageStore":
         if cache_file and os.path.isfile(cache_file):
-            return cls(np.load(cache_file, mmap_mode="r"))
+            with np.load(cache_file) as z:
+                return cls(z["pixels"], z["row_to_img"])
 
         from PIL import Image, ImageFile
 
         ImageFile.LOAD_TRUNCATED_IMAGES = True  # reference dataset.py:11
 
-        n = len(image_paths)
-        if cache_file:
-            pixels = np.lib.format.open_memmap(
-                cache_file, mode="w+", dtype=np.uint8, shape=(n, size, size, 3))
-        else:
-            pixels = np.zeros((n, size, size, 3), np.uint8)
-        for i, rel in enumerate(image_paths):
-            img = Image.open(os.path.join(img_root, rel)).convert("RGB")
+        unique, row_to_img = np.unique(np.asarray(image_paths), return_inverse=True)
+        pixels = np.zeros((len(unique), size, size, 3), np.uint8)
+        for i, rel in enumerate(unique):
+            img = Image.open(os.path.join(img_root, str(rel))).convert("RGB")
             img = img.resize((size, size), Image.BILINEAR)
             pixels[i] = np.asarray(img, dtype=np.uint8)
+        store = cls(pixels, row_to_img.astype(np.int64))
         if cache_file:
-            pixels.flush()
-        return cls(pixels)
+            np.savez(cache_file, pixels=pixels, row_to_img=store.row_to_img)
+        return store

@@ -1,0 +1,95 @@
+"""One-pass sharded test-split scoring.
+
+The reference evaluates with a host-side ``torch.no_grad()`` batch loop,
+collecting every forecast on CPU before computing WAPE/MAE
+(``/root/reference/forecast_dl.py:128-198``).  TPU-native redesign
+(SURVEY.md §7.8): the split is padded to a static shape, sharded over the
+mesh's ``data`` axis, and scored by compiled steps that keep only partial
+metric sums on device; the final WAPE/MAE reduction is exact.  Also reports
+forecasts/sec/chip (the north-star throughput metric) and GFLOPs/sample from
+XLA cost analysis (thop replacement, ``forecast_dl.py:148-160``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visuelle2_tpu.data.loader import BatchLoader
+from visuelle2_tpu.eval.profiler import compiled_flops
+from visuelle2_tpu.ops.metrics import finalize_metrics
+from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh
+from visuelle2_tpu.train.loop import expand_mask, target_and_pred
+
+
+@dataclasses.dataclass
+class ForecastResult:
+    wape: float
+    mae: float
+    num_forecasts: int
+    forecasts_per_sec: Optional[float] = None
+    forecasts_per_sec_per_chip: Optional[float] = None
+    gflops_per_sample: Optional[float] = None
+
+    def summary(self) -> str:
+        parts = [f"WAPE: {self.wape:.3f}", f"MAE: {self.mae:.3f}"]
+        if self.forecasts_per_sec_per_chip:
+            parts.append(f"{self.forecasts_per_sec_per_chip:,.0f} forecasts/s/chip")
+        if self.gflops_per_sample:
+            parts.append(f"{self.gflops_per_sample:.3f} GFLOPs/sample")
+        return ", ".join(parts)
+
+
+def score_split(model, variables, loader: BatchLoader, *, mesh=None,
+                norm_scalar: float = 53.0, measure_throughput: bool = True,
+                timing_iters: int = 5) -> ForecastResult:
+    mesh = mesh if mesh is not None else make_mesh(model=1)
+    sharding = batch_sharding(mesh)
+    n_chips = mesh.devices.size
+
+    @jax.jit
+    def eval_step(variables, batch):
+        forecast, _ = model.apply(variables, batch, train=False)
+        target, pred = target_and_pred(batch, forecast)
+        row_mask = expand_mask(batch, target)
+        abs_err = jnp.sum(jnp.abs(target - pred) * row_mask[:, None]) * norm_scalar
+        abs_gt = jnp.sum(jnp.abs(target) * row_mask[:, None]) * norm_scalar
+        count = row_mask.sum() * target.shape[-1]
+        return {"abs_err": abs_err, "abs_gt": abs_gt, "count": count}
+
+    sums = None
+    batches = []
+    for batch in loader:
+        batch = jax.device_put(batch, sharding)
+        batches.append(batch)
+        part = eval_step(variables, batch)
+        sums = part if sums is None else jax.tree_util.tree_map(jnp.add, sums, part)
+    sums = {k: float(v) for k, v in sums.items()}
+    fin = finalize_metrics(sums)
+
+    fps = fps_chip = gflops = None
+    if batches:
+        b0 = batches[0]
+        bs = int(b0["mask"].shape[0])
+        total = compiled_flops(eval_step, variables, b0)
+        if total is not None and np.isfinite(total):
+            gflops = total / bs / 1e9
+        if measure_throughput:
+            jax.block_until_ready(eval_step(variables, b0))
+            t0 = time.perf_counter()
+            for _ in range(timing_iters):
+                out = eval_step(variables, b0)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / timing_iters
+            fps = bs / dt
+            fps_chip = fps / n_chips
+
+    return ForecastResult(
+        wape=fin["wape"], mae=fin["mae"], num_forecasts=int(sums["count"]),
+        forecasts_per_sec=fps, forecasts_per_sec_per_chip=fps_chip,
+        gflops_per_sample=gflops)

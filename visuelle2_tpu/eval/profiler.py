@@ -1,0 +1,57 @@
+"""FLOPs + timing instrumentation.
+
+Replaces the reference's thop MACs profile on the first test batch
+(``/root/reference/forecast_dl.py:148-160``) with XLA's own compiled cost
+analysis — exact for the compiled program, no tracing hooks.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
+    """Total FLOPs of the compiled program (None if the backend doesn't
+    report cost analysis)."""
+    try:
+        compiled = jitted_fn.lower(*args, **kwargs).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns a per-computation list
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:
+        return None
+
+
+def flops_per_sample(jitted_fn, batch_size: int, *args, **kwargs):
+    """GFLOPs per sample, reported like forecast_dl.py:158-160."""
+    total = compiled_flops(jitted_fn, *args, **kwargs)
+    if total is None:
+        return None
+    return total / batch_size / 1e9
+
+
+class Timer:
+    """Wall-clock bracketing (train_dl.py:172-182) with block_until_ready."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+        return False
+
+
+def throughput(fn: Callable, batch, *, warmup: int = 2, iters: int = 10) -> float:
+    """Steady-state executions/sec of ``fn(batch)`` (blocks on results)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(batch))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(batch)
+    jax.block_until_ready(out)
+    return iters / (time.perf_counter() - t0)

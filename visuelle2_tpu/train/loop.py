@@ -90,6 +90,7 @@ class TrainConfig:
     batch_size: int = 128         # train_dl.py:191
     seed: int = 21                # train_dl.py:190
     grad_clip: Optional[float] = None  # 0.5 for the transformer family
+    learning_rate: Any = None  # None = fairseq relative-step schedule
     ckpt_dir: Optional[str] = None
     log_every: int = 50
     norm_scalar: float = 53.0
@@ -117,7 +118,8 @@ class Trainer:
         variables = self.model.init(rngs, example_batch, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", core.FrozenDict())
-        tx = optim_lib.make_optimizer(params, self.config.grad_clip)
+        tx = optim_lib.make_optimizer(params, self.config.grad_clip,
+                                      self.config.learning_rate)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats, opt_state=tx.init(params),
                            tx=tx)

@@ -31,9 +31,13 @@ def fairseq_relative_step_schedule(step):
     return jnp.minimum(1e-6 * t, jax.lax.rsqrt(t))
 
 
-def adafactor(grad_clip: Optional[float] = None) -> optax.GradientTransformation:
+def adafactor(grad_clip: Optional[float] = None,
+              learning_rate=None) -> optax.GradientTransformation:
+    """``learning_rate=None`` -> the fairseq relative-step warmup schedule
+    (reference parity); pass a float/schedule to override (the warmup reaches
+    lr 1e-2 only at step 10k, far too slow for smoke tests)."""
     tx = optax.adafactor(
-        learning_rate=fairseq_relative_step_schedule,
+        learning_rate=learning_rate or fairseq_relative_step_schedule,
         multiply_by_parameter_scale=True,
         decay_rate=0.8,
         clipping_threshold=1.0,
@@ -62,8 +66,10 @@ def partition_trainable(params):
         lambda path, _: "freeze" if _is_frozen(path) else "train", params)
 
 
-def make_optimizer(params, grad_clip: Optional[float] = None):
+def make_optimizer(params, grad_clip: Optional[float] = None,
+                   learning_rate=None):
     """Adafactor with the reference freeze split applied."""
     labels = partition_trainable(params)
     return optax.multi_transform(
-        {"train": adafactor(grad_clip), "freeze": optax.set_to_zero()}, labels)
+        {"train": adafactor(grad_clip, learning_rate),
+         "freeze": optax.set_to_zero()}, labels)
