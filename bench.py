@@ -49,15 +49,17 @@ def main():
         return forecast
 
     variables = jax.device_put(variables)
-    batch = jax.device_put(batch)
-    jax.block_until_ready(forward(variables, batch))  # compile
-    # Warmup
-    for _ in range(2):
-        jax.block_until_ready(forward(variables, batch))
+    # IMPORTANT: the axon relay dedupes repeated identical dispatches, so the
+    # benchmark must feed a DISTINCT batch every iteration (verified: a
+    # same-input loop reports physically impossible throughput).
+    batches = [jax.device_put(_synthetic_batch(BATCH, IMAGE, seed=i))
+               for i in range(ITERS + 2)]
+    jax.block_until_ready(forward(variables, batches[0]))  # compile
+    for b in batches[:2]:  # warmup
+        jax.block_until_ready(forward(variables, b))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables, batch)
-    jax.block_until_ready(out)
+    outs = [forward(variables, b) for b in batches[2:]]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / ITERS
     n_chips = max(1, len(jax.devices()))
     fps_chip = BATCH / dt / n_chips

@@ -1,0 +1,52 @@
+"""CLI entry points end-to-end on the synthetic dataset (in-process)."""
+
+import numpy as np
+import pytest
+
+from visuelle2_tpu.cli import forecast_dl, forecast_stat, train_dl, train_transformer
+
+
+def test_forecast_stat_cli(synthetic_dataset, capsys):
+    args = forecast_stat.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--method", "ses",
+        "--use_teacher_forcing", "1", "--image_size", "32", "--batch_size", "16",
+    ])
+    wape, mae = forecast_stat.run(args)
+    assert np.isfinite(wape) and np.isfinite(mae)
+    out = capsys.readouterr().out
+    assert "Results for ses" in out
+
+
+def test_train_then_forecast_dl_cli(synthetic_dataset, tmp_path):
+    train_args = train_dl.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--task_mode", "0",
+        "--output_len", "1", "--epochs", "1", "--batch_size", "16",
+        "--embedding_dim", "16", "--attention_dim", "16", "--hidden_dim", "16",
+        "--image_arch", "tiny", "--image_size", "32",
+        "--ckpt_dir", str(tmp_path / "ckpt21"),
+    ])
+    best = train_dl.run(train_args)
+    assert best is not None
+
+    fc_args = forecast_dl.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--task_mode", "0",
+        "--batch_size", "16",
+        "--embedding_dim", "16", "--attention_dim", "16", "--hidden_dim", "16",
+        "--image_arch", "tiny", "--image_size", "32",
+        "--ckpt_path", str(tmp_path / "ckpt21"),
+    ])
+    result = forecast_dl.run(fc_args)
+    assert np.isfinite(result.wape) and np.isfinite(result.mae)
+    assert result.forecasts_per_sec_per_chip > 0
+
+
+def test_train_transformer_cli(synthetic_dataset, tmp_path):
+    args = train_transformer.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--model", "gated_v4",
+        "--demand", "1", "--output_len", "12", "--epochs", "1",
+        "--batch_size", "16", "--embedding_dim", "16", "--hidden_dim", "16",
+        "--image_arch", "tiny", "--image_size", "32",
+        "--ckpt_dir", str(tmp_path / "ckptv4"),
+    ])
+    best = train_transformer.run(args)
+    assert best is not None

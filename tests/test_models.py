@@ -192,3 +192,26 @@ def test_resnet_conversion_matches_torch(rng):
     out = net.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
     np.testing.assert_allclose(
         np.asarray(out), np.transpose(t_out, (0, 2, 3, 1)), atol=1e-3, rtol=1e-3)
+
+
+def test_gtm_v1_with_text_featurizer(demand12):
+    from visuelle2_tpu.models.gtm_v1 import GTMv1, TextFeaturizer
+
+    feat = TextFeaturizer({"a": 0, "b": 1, "c": 2, "d": 3, "e": 4},
+                          {f"c{i}": i for i in range(6)},
+                          {f"f{i}": i for i in range(5)}, use_bert=False)
+    tf = feat(demand12["cat"], demand12["col"], demand12["fab"])
+    assert tf.shape == (8, 768)
+    # Deterministic across calls.
+    np.testing.assert_array_equal(tf, feat(demand12["cat"], demand12["col"],
+                                           demand12["fab"]))
+
+    batch = dict(demand12)
+    batch["text_features"] = tf.astype(np.float32)
+    model = GTMv1(embedding_dim=16, hidden_dim=16, output_len=12,
+                  image_arch="tiny")
+    (pred, attn) = _init_and_run(model, batch)
+    assert pred.shape == (8, 12)
+    assert attn is not None  # GTM returns decoder attention weights
+    (pred_t, _) = _init_and_run(model, batch, train=True)
+    assert np.isfinite(np.asarray(pred_t)).all()

@@ -14,6 +14,7 @@ from visuelle2_tpu.models.cross_attn_rnn import (
     CrossAttnRNN210,
     CrossAttnRNNDemand,
 )
+from visuelle2_tpu.models.gtm_v1 import GTMv1
 from visuelle2_tpu.models.oracle import Oracle
 from visuelle2_tpu.models.seq2seq import Seq2SeqForecaster
 
@@ -42,6 +43,8 @@ BUILDERS: Dict[str, Any] = {
     "gated_v2": _seq2seq("gated_v2"),
     "gated_v3": _seq2seq("gated_v3"),
     "gated_v4": _seq2seq("gated_v4"),
+    # Original VISUELLE-1 GTM (BERT text branch; norm scalar 1065 — GTM.py:321)
+    "gtm_v1": lambda **kw: GTMv1(**{**_GTM_DEFAULTS, **kw}),
     "oracle": lambda **kw: Oracle(**kw),
 }
 
