@@ -49,17 +49,24 @@ def main():
         return forecast
 
     variables = jax.device_put(variables)
-    # IMPORTANT: the axon relay dedupes repeated identical dispatches, so the
-    # benchmark must feed a DISTINCT batch every iteration (verified: a
-    # same-input loop reports physically impossible throughput).
-    batches = [jax.device_put(_synthetic_batch(BATCH, IMAGE, seed=i))
-               for i in range(ITERS + 2)]
-    jax.block_until_ready(forward(variables, batches[0]))  # compile
-    for b in batches[:2]:  # warmup
-        jax.block_until_ready(forward(variables, b))
+    # Measurement methodology (verified empirically on this harness):
+    #  * identical dispatches are deduped by the axon relay, and INDEPENDENT
+    #    dispatches overlap/parallelize beyond one chip's FLOP rate — both
+    #    inflate naive loops to physically impossible numbers;
+    #  * therefore each iteration feeds a distinct batch AND depends on the
+    #    previous forecast (chained through "ts"), which serializes execution
+    #    and yields true single-chip throughput (cross-checked against the
+    #    28.2 GFLOPs/sample cost analysis: ~100 TFLOP/s bf16, plausible).
+    batch = jax.device_put(_synthetic_batch(BATCH, IMAGE, seed=1))
+    jax.block_until_ready(forward(variables, batch))  # compile
+    out = forward(variables, dict(batch, ts=forward(variables, batch)))
+    jax.block_until_ready(out)  # warmup
     t0 = time.perf_counter()
-    outs = [forward(variables, b) for b in batches[2:]]
-    jax.block_until_ready(outs)
+    b = batch
+    for _ in range(ITERS):
+        f = forward(variables, b)
+        b = dict(b, ts=f)
+    jax.block_until_ready(f)
     dt = (time.perf_counter() - t0) / ITERS
     n_chips = max(1, len(jax.devices()))
     fps_chip = BATCH / dt / n_chips
@@ -68,8 +75,13 @@ def main():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
     if os.path.isfile(path):
-        with open(path) as f:
-            baseline = float(json.load(f).get("torch_cpu_forecasts_per_sec", 0.0))
+        with open(path) as fh:
+            rec = json.load(fh)
+        # Prefer the documented GPU-class estimate (the north-star compares
+        # against the reference's single-GPU throughput; see BASELINE.md),
+        # falling back to the measured torch-CPU number.
+        baseline = float(rec.get("gpu_estimate_forecasts_per_sec", 0.0)) or \
+            float(rec.get("torch_cpu_forecasts_per_sec", 0.0))
 
     print(json.dumps({
         "metric": "demand_forecasts_per_sec_per_chip",
