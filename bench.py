@@ -57,16 +57,17 @@ def main():
     #    previous forecast (chained through "ts"), which serializes execution
     #    and yields true single-chip throughput (cross-checked against the
     #    28.2 GFLOPs/sample cost analysis: ~100 TFLOP/s bf16, plausible).
+    #  * jax.block_until_ready can return early under the relay — a real host
+    #    fetch (np.asarray) is the only reliable completion barrier, so the
+    #    chain is timed dispatch-to-fetch.
     batch = jax.device_put(_synthetic_batch(BATCH, IMAGE, seed=1))
-    jax.block_until_ready(forward(variables, batch))  # compile
-    out = forward(variables, dict(batch, ts=forward(variables, batch)))
-    jax.block_until_ready(out)  # warmup
+    np.asarray(forward(variables, batch))  # compile + warmup, fetched
     t0 = time.perf_counter()
-    b = batch
+    b = dict(batch, ts=batch["ts"] + 0.5)  # distinct from warmup args
     for _ in range(ITERS):
         f = forward(variables, b)
         b = dict(b, ts=f)
-    jax.block_until_ready(f)
+    np.asarray(f)  # host fetch forces completion of the whole chain
     dt = (time.perf_counter() - t0) / ITERS
     n_chips = max(1, len(jax.devices()))
     fps_chip = BATCH / dt / n_chips

@@ -215,3 +215,16 @@ def test_gtm_v1_with_text_featurizer(demand12):
     assert attn is not None  # GTM returns decoder attention weights
     (pred_t, _) = _init_and_run(model, batch, train=True)
     assert np.isfinite(np.asarray(pred_t)).all()
+
+
+def test_inception_backbone_shape_and_legacy_encoder(rng):
+    import jax
+    from visuelle2_tpu.models.legacy import LegacyImageEncoder
+
+    imgs = rng.integers(0, 255, (1, 299, 299, 3), dtype=np.uint8)
+    enc = LegacyImageEncoder(embedding_dim=16)
+    variables = enc.init({"params": jax.random.key(0)}, imgs)
+    out = enc.apply(variables, imgs)
+    # 299 -> 8x8 = 64 patches (modules.py:91 view(-1, 64, 2048))
+    assert out.shape == (1, 64, 16)
+    assert np.isfinite(np.asarray(out)).all()

@@ -65,3 +65,28 @@ def test_fused_gru_sequence_parity(rng):
         block_b=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), atol=1e-5)
+
+
+def test_models_pallas_path_matches_xla(rng):
+    """AdditiveAttention / GRU modules with use_pallas=True (interpret mode)
+    reproduce the XLA path with the same params."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, De, Dd, A = 6, 13, 16, 16, 16
+    enc = jnp.asarray(rng.standard_normal((B, L, De)).astype(np.float32))
+    dec = jnp.asarray(rng.standard_normal((B, Dd)).astype(np.float32))
+    ref = AdditiveAttention(A)
+    variables = ref.init(jax.random.key(0), enc, dec)
+    want, want_a = ref.apply(variables, enc, dec)
+    with pltpu.force_tpu_interpret_mode():
+        got, got_a = AdditiveAttention(A, use_pallas=True).apply(variables, enc, dec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    x = jnp.asarray(rng.standard_normal((5, 7, 9)).astype(np.float32))
+    gref = GRU(12)
+    gvars = gref.init(jax.random.key(1), x)
+    wo, wh = gref.apply(gvars, x)
+    with pltpu.force_tpu_interpret_mode():
+        go, gh = GRU(12, use_pallas=True).apply(gvars, x)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(wo), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(wh), atol=1e-5)

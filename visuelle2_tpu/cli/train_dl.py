@@ -53,8 +53,19 @@ def run(args):
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=2)  # train_dl.py:156
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"))
 
+    state = None
+    if args.resume_from:
+        # Mid-training resume (the reference never wires ckpt_path into fit;
+        # we support it — SURVEY.md §5 checkpoint/resume).
+        state = trainer.init_state(next(iter(loaders["train"])))
+        src = CheckpointManager(args.resume_from)
+        state = src.restore(state)
+        src.close()
+        print(f"resumed from {args.resume_from} @ step {int(state.step)}")
+
     t0 = time.time()
-    trainer.fit(loaders["train"], loaders["test"], checkpointer=ckpt, log_fn=log)
+    trainer.fit(loaders["train"], loaders["test"], state=state,
+                checkpointer=ckpt, log_fn=log)
     elapsed = time.time() - t0
     print(f"[Training Completed] Time: {elapsed/60:.2f} minutes ({elapsed:.2f} seconds)")
     print(ckpt.best_model_path)
@@ -75,6 +86,8 @@ def build_parser():
     p.add_argument("--use_teacher_forcing", action="store_true")
     p.add_argument("--teacher_forcing_ratio", type=float, default=0.5)
     p.add_argument("--ckpt_dir", type=str, default="ckpt_CrossAttnRNN210/")
+    p.add_argument("--resume_from", type=str, default="",
+                   help="checkpoint directory to resume training from")
     return p
 
 

@@ -55,8 +55,17 @@ def run(args):
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=1)
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"))
 
+    state = None
+    if args.resume_from:
+        state = trainer.init_state(next(iter(loaders["train"])))
+        src = CheckpointManager(args.resume_from)
+        state = src.restore(state)
+        src.close()
+        print(f"resumed from {args.resume_from} @ step {int(state.step)}")
+
     t0 = time.time()
-    trainer.fit(loaders["train"], loaders["test"], checkpointer=ckpt, log_fn=log)
+    trainer.fit(loaders["train"], loaders["test"], state=state,
+                checkpointer=ckpt, log_fn=log)
     print(f"[Training Completed] Time: {(time.time() - t0)/60:.2f} minutes")
     print(f"Best Model Path: {ckpt.best_model_path}")
     return ckpt.best_model_path
@@ -81,6 +90,8 @@ def build_parser(default_model="gtm"):
     p.add_argument("--autoregressive", type=int, default=0)
     p.add_argument("--query_modality", type=str, default="text",
                    choices=["text", "image", "temporal"])
+    p.add_argument("--resume_from", type=str, default="",
+                   help="checkpoint directory to resume training from")
     return p
 
 

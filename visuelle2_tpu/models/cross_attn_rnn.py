@@ -89,6 +89,7 @@ class _FusionAttention(nn.Module):
     use_img: bool = True
     use_att: bool = True
     use_trends: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, img_enc, trend_enc, dummy_enc, attr_enc, hidden):
@@ -96,6 +97,7 @@ class _FusionAttention(nn.Module):
         if self.use_img:
             attended_img, _ = AdditiveAttention(
                 self.attention_dim, weight_on=self.weight_on,
+                use_pallas=self.use_pallas,
                 name="img_attention")(img_enc, hidden)
             tokens.append(attended_img.sum(axis=1))
         if self.use_att:
@@ -103,6 +105,7 @@ class _FusionAttention(nn.Module):
         if self.use_trends:
             attended_trend, _ = AdditiveAttention(
                 self.attention_dim, weight_on=self.weight_on,
+                use_pallas=self.use_pallas,
                 name="ts_attention")(trend_enc, hidden)
             attended_trend = nn.Dense(self.embedding_dim, name="trend_linear")(
                 attended_trend.reshape(attended_trend.shape[0], -1))
@@ -110,6 +113,7 @@ class _FusionAttention(nn.Module):
         mm_in = jnp.stack(tokens, axis=1)  # [N, n_tokens, E]
         attended_mm, _ = AdditiveAttention(
             self.attention_dim, weight_on=self.weight_on,
+            use_pallas=self.use_pallas,
             name="multimodal_attention")(mm_in, hidden)
         final = mm_in + attended_mm  # residual (CrossAttnRNN210.py:207)
         return nn.Dense(self.embedding_dim, name="multimodal_embedder")(
@@ -129,6 +133,7 @@ class CrossAttnRNN21(nn.Module):
     out_len: int = 1
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, batch, *, train=False):
@@ -153,6 +158,7 @@ class CrossAttnRNN21(nn.Module):
 
         context = _FusionAttention(
             self.embedding_dim, self.attention_dim, use_img=self.use_img,
+            use_pallas=self.use_pallas,
             name="fusion")(img_enc, trend_enc, dummy_enc, attr_enc, hidden)
         pred = nn.Dense(1, name="decoder_fc")(context)
         return pred.reshape(B, W, 1), None
@@ -170,6 +176,7 @@ class _DecodeCell(nn.Module):
     use_img: bool = True
     use_att: bool = True
     use_trends: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, carry, statics, step_in):
@@ -179,7 +186,8 @@ class _DecodeCell(nn.Module):
         context = _FusionAttention(
             self.embedding_dim, self.attention_dim, weight_on=self.weight_on,
             use_img=self.use_img, use_att=self.use_att,
-            use_trends=self.use_trends, name="fusion")(
+            use_trends=self.use_trends, use_pallas=self.use_pallas,
+            name="fusion")(
             img_enc, trend_enc, dummy_enc, attr_enc, hidden)
         gru_in = jnp.concatenate([context, dec_in], axis=-1)  # [N, E+1]
         hidden = GRUCellModule(self.hidden_dim, name="decoder_cell")(gru_in, hidden)
@@ -203,6 +211,7 @@ class CrossAttnRNN210(nn.Module):
     teacher_forcing_ratio: float = 0.5
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, batch, *, train=False):
@@ -243,7 +252,7 @@ class CrossAttnRNN210(nn.Module):
             in_axes=(nn.broadcast, 0),
             out_axes=0,
         )(self.embedding_dim, self.attention_dim, self.hidden_dim,
-          use_img=self.use_img, name="decoder")
+          use_img=self.use_img, use_pallas=self.use_pallas, name="decoder")
         _, preds = cell((hidden, dec_in),
                         (img_enc, trend_enc, dummy_enc, attr_enc),
                         (ys, coins))
@@ -269,6 +278,7 @@ class CrossAttnRNNDemand(nn.Module):
     teacher_forcing_ratio: float = 0.5
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    use_pallas: bool = False
     faithful_temporal_bug: bool = False
 
     @nn.compact
@@ -306,7 +316,8 @@ class CrossAttnRNNDemand(nn.Module):
             out_axes=0,
         )(self.embedding_dim, self.attention_dim, self.hidden_dim,
           weight_on="projected", use_img=self.use_img, use_att=self.use_att,
-          use_trends=self.use_trends, name="decoder")
+          use_trends=self.use_trends, use_pallas=self.use_pallas,
+          name="decoder")
         _, preds = cell((hidden, dec_in),
                         (img_enc, trend_enc, dummy_enc, attr_enc),
                         (ys, coins))

@@ -40,10 +40,11 @@ STAGE_BLOCKS = {
 
 
 class BatchNorm(nn.Module):
-    """torch-semantics BatchNorm2d (eps 1e-5, momentum 0.1) over NHWC."""
+    """torch-semantics BatchNorm2d (momentum 0.1) over NHWC."""
 
     features: int
     dtype: Any = jnp.float32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, *, use_running_average: bool = True):
@@ -66,8 +67,8 @@ class BatchNorm(nn.Module):
                 ra_mean.value = (1 - momentum) * ra_mean.value + momentum * mean
                 ra_var.value = (1 - momentum) * ra_var.value + momentum * unbiased
         inv = jnp.asarray(scale, self.dtype) * jnp.asarray(
-            1.0 / jnp.sqrt(var + 1e-5), self.dtype)
-        return x * inv + jnp.asarray(bias - mean * scale / jnp.sqrt(var + 1e-5),
+            1.0 / jnp.sqrt(var + self.eps), self.dtype)
+        return x * inv + jnp.asarray(bias - mean * scale / jnp.sqrt(var + self.eps),
                                      self.dtype)
 
 

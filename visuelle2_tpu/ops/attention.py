@@ -29,22 +29,53 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class _Weights(nn.Module):
+    """Parameter-only child module giving Dense-compatible trees
+    ({name: {kernel[, bias]}}) usable by both the XLA and Pallas paths."""
+
+    shape: tuple
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = (self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+             if self.use_bias else None)
+        return k, b
+
+
 class AdditiveAttention(nn.Module):
     """Bahdanau additive attention.
 
     energy = v·tanh(W_e·enc + W_d·dec);  alpha = softmax(energy over len);
     returns (alpha-weighted encoding [B, L, D_w], alpha [B, L]).
+
+    ``use_pallas=True`` routes through the fused TPU kernel
+    (``ops/pallas/additive_attention.py``) with the identical parameter tree.
     """
 
     attention_dim: int
     weight_on: str = "inputs"  # "inputs" (CrossAttnRNN21.py:88) | "projected" (Demand:146)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, encoder_out, decoder_hidden):
         # encoder_out: [B, L, De]; decoder_hidden: [B, Dd]
-        h_j = nn.Dense(self.attention_dim, use_bias=False, name="encoder_linear")(encoder_out)
-        s_i = nn.Dense(self.attention_dim, use_bias=False, name="decoder_linear")(decoder_hidden)
-        energy = nn.Dense(1, name="attn_linear")(jnp.tanh(h_j + s_i[:, None, :]))[..., 0]
+        A = self.attention_dim
+        we, _ = _Weights((encoder_out.shape[-1], A), name="encoder_linear")()
+        wd, _ = _Weights((decoder_hidden.shape[-1], A), name="decoder_linear")()
+        v, vb = _Weights((A, 1), use_bias=True, name="attn_linear")()
+        if self.use_pallas:
+            from visuelle2_tpu.ops.pallas.additive_attention import (
+                fused_additive_attention,
+            )
+
+            return fused_additive_attention(
+                encoder_out, decoder_hidden, we, wd, v, vb,
+                weight_on=self.weight_on)
+        h_j = encoder_out @ we
+        s_i = decoder_hidden @ wd
+        energy = (jnp.tanh(h_j + s_i[:, None, :]) @ v)[..., 0] + vb[0]
         alpha = jax.nn.softmax(energy, axis=1)
         base = encoder_out if self.weight_on == "inputs" else h_j
         return alpha[..., None] * base, alpha

@@ -35,9 +35,14 @@ def gru_cell_step(x, h, w_i, w_h, b_i, b_h):
 
 
 class GRU(nn.Module):
-    """Single-layer batch-first GRU: [B, T, I] -> (outputs [B, T, H], h_T [B, H])."""
+    """Single-layer batch-first GRU: [B, T, I] -> (outputs [B, T, H], h_T [B, H]).
+
+    ``use_pallas=True`` runs the recurrence in the fused VMEM-resident TPU
+    kernel (``ops/pallas/gru_seq.py``) with the identical parameter layout.
+    """
 
     hidden_dim: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, h0: Optional[jax.Array] = None):
@@ -57,6 +62,11 @@ class GRU(nn.Module):
 
         if h0 is None:
             h0 = jnp.zeros((B, H), x.dtype)
+
+        if self.use_pallas:
+            from visuelle2_tpu.ops.pallas.gru_seq import fused_gru_sequence
+
+            return fused_gru_sequence(x, w_i, w_h, b_i, b_h, h0)
 
         def step(h, xt):
             h2 = gru_cell_step(xt, h, w_i, w_h, b_i, b_h)
