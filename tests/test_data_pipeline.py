@@ -140,3 +140,38 @@ def test_image_store_and_loader(synthetic_dataset):
     if len(idx):
         i = tuple(idx[0])
         assert float(norm[..., 0][i]) == pytest.approx(expect, rel=1e-5)
+
+
+def test_windows_use_cleaned_series_but_demand_uses_raw(tmp_path):
+    """dataset.py:111-117 — stfore windows frame the restock-cleaned series,
+    demand ts is the raw last-12 columns."""
+    import json
+
+    import pandas as pd
+
+    from visuelle2_tpu.data.pipeline import preprocess_dataframe
+
+    dates = pd.date_range("2015-01-05", periods=200, freq="W-MON")
+    g = pd.DataFrame({"c": np.arange(200.0), "k": np.arange(200.0),
+                      "f": np.arange(200.0)}, index=dates)
+    sales = np.arange(1, 13, dtype=float)  # cumsum exceeds restock early
+    df = pd.DataFrame({
+        "image_path": ["x.jpg"], "category": ["c"], "color": ["k"],
+        "fabric": ["f"], "retail": [3],
+        "release_date": [dates[150]], "restock": [10.0],
+    })
+    for w in range(12):
+        df[f"w{w}"] = [sales[w]]
+    df["release_date"] = pd.to_datetime(df["release_date"])
+
+    st = preprocess_dataframe(df, g, {"c": 0}, {"k": 0}, {"f": 0},
+                              demand=False, output_len=1)
+    # cumsum(1,3,6,10,15,...) > 10 from week 5 (index 4) on -> zeros after
+    assert st.split_idx[0] == 4
+    clean = np.concatenate([sales[:4], np.zeros(8)])
+    np.testing.assert_allclose(st.X[0, 0], clean[0:2])
+    np.testing.assert_allclose(st.X[0, 4], clean[4:6])  # zeroed region
+
+    dm = preprocess_dataframe(df, g, {"c": 0}, {"k": 0}, {"f": 0},
+                              demand=True, output_len=12)
+    np.testing.assert_allclose(dm.ts[0], sales)  # raw, not cleaned

@@ -64,7 +64,7 @@ class BatchLoader:
     def num_examples(self) -> int:
         return len(self.arrays)
 
-    def _gather(self, idx: np.ndarray, pad_to: int) -> Batch:
+    def _gather_no_images(self, idx: np.ndarray, pad_to: int) -> Batch:
         a = self.arrays
         batch: Batch = {
             "cat": a.cat[idx], "col": a.col[idx], "fab": a.fab[idx],
@@ -76,23 +76,19 @@ class BatchLoader:
         else:
             batch["X"] = a.X[idx]
             batch["y"] = a.y[idx]
-        if self.images is not None:
-            src = self.images.pixels
-            img_idx = self.images.image_indices(idx)
-            if self._engine is not None and src.flags["C_CONTIGUOUS"]:
-                # memmap-backed sources work too: the worker threads memcpy
-                # straight out of the mapping.
-                batch["images"] = self._engine.gather(
-                    src, np.ascontiguousarray(img_idx, np.int64))
-            else:
-                batch["images"] = self.images.gather(idx)
         mask = np.zeros(pad_to, np.float32)
         mask[: len(idx)] = 1.0
         batch = {k: _pad_to(v, pad_to) for k, v in batch.items()}
         batch["mask"] = mask
         return batch
 
-    def __iter__(self) -> Iterator[Batch]:
+    def _gather(self, idx: np.ndarray, pad_to: int) -> Batch:
+        batch = self._gather_no_images(idx, pad_to)
+        if self.images is not None:
+            batch["images"] = _pad_to(self.images.gather(idx), pad_to)
+        return batch
+
+    def _epoch_index_blocks(self):
         n = len(self.arrays)
         order = np.arange(n)
         if self.shuffle:
@@ -100,9 +96,34 @@ class BatchLoader:
             rng.shuffle(order)
             self._epoch += 1
         stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
-        for start in range(0, stop, self.batch_size):
-            idx = order[start: start + self.batch_size]
-            yield self._gather(idx, self.batch_size)
+        return [order[s: s + self.batch_size] for s in range(0, stop, self.batch_size)]
+
+    def __iter__(self) -> Iterator[Batch]:
+        blocks = self._epoch_index_blocks()
+        if not blocks:
+            return
+        if self._engine is None or self.images is None:
+            for idx in blocks:
+                yield self._gather(idx, self.batch_size)
+            return
+        # Double-buffered: the native pool assembles batch t+1's image gather
+        # while batch t is being consumed (device compute overlaps host IO).
+        src = self.images.pixels
+        pending = None
+
+        def submit(idx):
+            img_idx = np.ascontiguousarray(self.images.image_indices(idx), np.int64)
+            out = np.empty((len(img_idx),) + src.shape[1:], np.uint8)
+            return idx, self._engine.submit(src, img_idx, out)
+
+        pending = submit(blocks[0])
+        for nxt in blocks[1:] + [None]:
+            idx, handle = pending
+            images = self._engine.wait(handle)
+            batch = self._gather_no_images(idx, self.batch_size)
+            batch["images"] = _pad_to(images, self.batch_size)
+            pending = submit(nxt) if nxt is not None else None
+            yield batch
 
 
 def shard_batch(batch: Batch, sharding=None) -> Batch:
