@@ -33,6 +33,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--image_size", type=int, default=299)
     p.add_argument("--bf16_backbone", action="store_true",
                    help="run the image backbone in bfloat16 (TPU MXU)")
+    p.add_argument("--gpu_num", type=int, default=0,
+                   help="accepted for reference CLI compatibility "
+                        "(train_dl.py:204); device selection is JAX's")
     # wandb-compatible flags (kept for CLI parity; logging is JSONL locally)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_entity", type=str, default="")

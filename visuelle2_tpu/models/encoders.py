@@ -170,12 +170,13 @@ class ImagePatchEncoder(nn.Module):
     arch: str = "resnet101"
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images_u8, *, train=False, deterministic=True):
         x = normalize_images(images_u8, dtype=self.dtype)
         feats = ResNetBackbone(STAGE_BLOCKS[self.arch], dtype=self.dtype,
-                               name="backbone")(x, train=train)
+                               remat=self.remat, name="backbone")(x, train=train)
         B, H, W, C = feats.shape
         patches = feats.reshape(B, H * W, C).astype(jnp.float32)
         out = nn.Dense(self.embedding_dim, name="fc")(patches)
@@ -190,12 +191,13 @@ class ImagePooledEncoder(nn.Module):
     final_dim: Optional[int] = None
     arch: str = "resnet101"
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images_u8, *, train=False, deterministic=True):
         x = normalize_images(images_u8, dtype=self.dtype)
         feats = ResNetBackbone(STAGE_BLOCKS[self.arch], dtype=self.dtype,
-                               name="backbone")(x, train=train)
+                               remat=self.remat, name="backbone")(x, train=train)
         proj = nn.Conv(self.embedding_dim, (1, 1), use_bias=True,
                        dtype=self.dtype, name="projection")(feats)
         pooled = proj.mean(axis=(1, 2)).astype(jnp.float32)

@@ -87,7 +87,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         ura = not train
         out = _conv(self.features, 1, 1, "conv1", self.dtype)(x)
         out = BatchNorm(self.features, self.dtype, name="bn1")(out, use_running_average=ura)
@@ -113,6 +113,9 @@ class ResNetBackbone(nn.Module):
 
     blocks: Sequence[int] = STAGE_BLOCKS["resnet101"]
     dtype: Any = jnp.float32
+    # Rematerialize each bottleneck on backward: trades FLOPs for HBM, letting
+    # large train batches fit (jax.checkpoint; no effect on inference).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -124,12 +127,13 @@ class ResNetBackbone(nn.Module):
         # torch MaxPool2d(3, stride=2, padding=1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         widths = (64, 128, 256, 512)
+        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
         for stage, (n_blocks, w) in enumerate(zip(self.blocks, widths)):
             for b in range(n_blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                x = Bottleneck(w, stride=stride, downsample=(b == 0),
-                               dtype=self.dtype,
-                               name=f"layer{stage + 1}_{b}")(x, train=train)
+                x = block_cls(w, stride=stride, downsample=(b == 0),
+                              dtype=self.dtype,
+                              name=f"layer{stage + 1}_{b}")(x, train)
         return x
 
 
