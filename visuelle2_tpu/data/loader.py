@@ -117,13 +117,21 @@ class BatchLoader:
             return idx, self._engine.submit(src, img_idx, out)
 
         pending = submit(blocks[0])
-        for nxt in blocks[1:] + [None]:
-            idx, handle = pending
-            images = self._engine.wait(handle)
-            batch = self._gather_no_images(idx, self.batch_size)
-            batch["images"] = _pad_to(images, self.batch_size)
-            pending = submit(nxt) if nxt is not None else None
-            yield batch
+        try:
+            for nxt in blocks[1:] + [None]:
+                idx, handle = pending
+                pending = None
+                images = self._engine.wait(handle)
+                batch = self._gather_no_images(idx, self.batch_size)
+                batch["images"] = _pad_to(images, self.batch_size)
+                pending = submit(nxt) if nxt is not None else None
+                yield batch
+        finally:
+            # If the consumer abandons the iterator (e.g. next(iter(loader))),
+            # the in-flight gather must complete before its output buffer is
+            # garbage-collected — C++ workers write into it.
+            if pending is not None:
+                self._engine.wait(pending[1])
 
 
 def shard_batch(batch: Batch, sharding=None) -> Batch:
