@@ -63,7 +63,7 @@ def run(args):
     return results
 
 
-if __name__ == "__main__":
+def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset_path", type=str, default="../visuelle2/")
     p.add_argument("--batch_size", type=int, default=128)
@@ -73,3 +73,7 @@ if __name__ == "__main__":
     p.add_argument("--image_size", type=int, default=299)
     p.add_argument("--quick_debug", action="store_true")
     run(p.parse_args())
+
+
+if __name__ == "__main__":
+    main()

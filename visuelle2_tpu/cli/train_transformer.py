@@ -95,5 +95,9 @@ def build_parser(default_model="gtm"):
     return p
 
 
-if __name__ == "__main__":
+def main():
     run(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()
