@@ -115,7 +115,10 @@ class Trainer:
         rngs = {"params": jax.random.key(self.config.seed),
                 "dropout": jax.random.key(self.config.seed + 1),
                 "sampling": jax.random.key(self.config.seed + 2)}
-        variables = self.model.init(rngs, example_batch, train=False)
+        # jit the whole init: one compiled program instead of thousands of
+        # eager dispatches (critical under remote/tunneled TPU runtimes).
+        init_fn = jax.jit(lambda r, b: self.model.init(r, b, train=False))
+        variables = init_fn(rngs, example_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", core.FrozenDict())
         tx = optim_lib.make_optimizer(params, self.config.grad_clip,
