@@ -9,11 +9,22 @@ backbone.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``vs_baseline`` compares against the equivalent-architecture torch-CPU
-forward recorded in BASELINE_MEASURED.json (the container ships no GPU and no
-torchvision/lightning/fairseq, so the reference's own GPU numbers cannot be
-reproduced here; see BASELINE.md).  If that file is missing, vs_baseline is
-reported as 0.0.
+Measurement methodology (each rule verified empirically on this harness —
+violating any of them reports physically impossible numbers):
+
+* the axon relay dedupes identical dispatches → the timed call uses inputs
+  distinct from warmup;
+* independent dispatches overlap beyond one chip's FLOP rate and
+  block_until_ready can return early → the whole measurement is ONE dispatch:
+  a ``lax.scan`` over a stack of DISTINCT image batches, so iterations
+  serialize on device, ResNet cannot be hoisted as loop-invariant, and the
+  final ``np.asarray`` fetch is the completion barrier;
+* cross-checked against XLA cost analysis (28.18 GFLOPs/sample): the
+  reported number corresponds to ~110 TFLOP/s sustained bf16 on v5e — sane.
+
+``vs_baseline`` compares against BASELINE_MEASURED.json (GPU-class estimate,
+falling back to the measured torch-CPU equivalent — the container ships no
+GPU and no torchvision/lightning/fairseq; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -38,36 +49,31 @@ def main():
 
     model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
                   image_arch="resnet101", image_dtype=jnp.bfloat16)
-    batch = _synthetic_batch(BATCH, IMAGE)
+    batch = _synthetic_batch(BATCH, IMAGE, seed=1)
     variables = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         batch, train=False)
 
     @jax.jit
-    def forward(variables, batch):
-        forecast, _ = model.apply(variables, batch, train=False)
-        return forecast
+    def scan_batches(variables, batch, image_stack):
+        def body(_, images_t):
+            f, _aux = model.apply(variables, dict(batch, images=images_t),
+                                  train=False)
+            return 0, f
+        _, fs = jax.lax.scan(body, 0, image_stack)
+        return fs
+
+    rng = np.random.default_rng(7)
+    stack_warm = rng.integers(0, 255, (ITERS, BATCH, IMAGE, IMAGE, 3)).astype(np.uint8)
+    stack_timed = rng.integers(0, 255, (ITERS, BATCH, IMAGE, IMAGE, 3)).astype(np.uint8)
 
     variables = jax.device_put(variables)
-    # Measurement methodology (verified empirically on this harness):
-    #  * identical dispatches are deduped by the axon relay, and INDEPENDENT
-    #    dispatches overlap/parallelize beyond one chip's FLOP rate — both
-    #    inflate naive loops to physically impossible numbers;
-    #  * therefore each iteration feeds a distinct batch AND depends on the
-    #    previous forecast (chained through "ts"), which serializes execution
-    #    and yields true single-chip throughput (cross-checked against the
-    #    28.2 GFLOPs/sample cost analysis: ~100 TFLOP/s bf16, plausible).
-    #  * jax.block_until_ready can return early under the relay — a real host
-    #    fetch (np.asarray) is the only reliable completion barrier, so the
-    #    chain is timed dispatch-to-fetch.
-    batch = jax.device_put(_synthetic_batch(BATCH, IMAGE, seed=1))
-    np.asarray(forward(variables, batch))  # compile + warmup, fetched
+    batch = jax.device_put(batch)
+    d_warm = jax.device_put(stack_warm)
+    d_timed = jax.device_put(stack_timed)
+    np.asarray(scan_batches(variables, batch, d_warm))  # compile + warmup
     t0 = time.perf_counter()
-    b = dict(batch, ts=batch["ts"] + 0.5)  # distinct from warmup args
-    for _ in range(ITERS):
-        f = forward(variables, b)
-        b = dict(b, ts=f)
-    np.asarray(f)  # host fetch forces completion of the whole chain
+    np.asarray(scan_batches(variables, batch, d_timed))
     dt = (time.perf_counter() - t0) / ITERS
     n_chips = max(1, len(jax.devices()))
     fps_chip = BATCH / dt / n_chips
@@ -78,9 +84,6 @@ def main():
     if os.path.isfile(path):
         with open(path) as fh:
             rec = json.load(fh)
-        # Prefer the documented GPU-class estimate (the north-star compares
-        # against the reference's single-GPU throughput; see BASELINE.md),
-        # falling back to the measured torch-CPU number.
         baseline = float(rec.get("gpu_estimate_forecasts_per_sec", 0.0)) or \
             float(rec.get("torch_cpu_forecasts_per_sec", 0.0))
 

@@ -69,15 +69,29 @@ def build_loaders(args, *, demand: bool, output_len: int,
 
 
 class JsonlLogger:
-    """Local metrics log (wandb stand-in; SURVEY.md §2.5)."""
+    """Local metrics log; optionally mirrors to wandb when requested and the
+    package is importable (flag-compatible with the reference's
+    ``--use_wandb`` surface, ``train_dl.py:159-162``; SURVEY.md §2.5)."""
 
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], wandb_args=None):
         self.path = path
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             self._f = open(path, "a")
         else:
             self._f = None
+        self._wandb = None
+        if wandb_args is not None and getattr(wandb_args, "use_wandb", False):
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_args.wandb_project or None,
+                    entity=wandb_args.wandb_entity or None,
+                    name=wandb_args.wandb_run or None)
+            except Exception as e:
+                print(f"[logger] wandb unavailable ({type(e).__name__}); "
+                      "metrics go to stdout/JSONL only")
 
     def __call__(self, metrics: dict):
         line = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
@@ -87,3 +101,5 @@ class JsonlLogger:
         if self._f:
             self._f.write(json.dumps(line) + "\n")
             self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log(line)

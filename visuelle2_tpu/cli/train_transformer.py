@@ -53,7 +53,7 @@ def run(args):
         epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
         grad_clip=0.5, norm_scalar=norm_scalar))
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=1)
-    log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"))
+    log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
     state = None
     if args.resume_from:

@@ -93,9 +93,10 @@ class _FusionAttention(nn.Module):
 
     @nn.compact
     def __call__(self, img_enc, trend_enc, dummy_enc, attr_enc, hidden):
+        alphas = {}
         tokens = [dummy_enc]
         if self.use_img:
-            attended_img, _ = AdditiveAttention(
+            attended_img, alphas["img"] = AdditiveAttention(
                 self.attention_dim, weight_on=self.weight_on,
                 use_pallas=self.use_pallas,
                 name="img_attention")(img_enc, hidden)
@@ -103,7 +104,7 @@ class _FusionAttention(nn.Module):
         if self.use_att:
             tokens.append(attr_enc)
         if self.use_trends:
-            attended_trend, _ = AdditiveAttention(
+            attended_trend, alphas["trend"] = AdditiveAttention(
                 self.attention_dim, weight_on=self.weight_on,
                 use_pallas=self.use_pallas,
                 name="ts_attention")(trend_enc, hidden)
@@ -111,13 +112,14 @@ class _FusionAttention(nn.Module):
                 attended_trend.reshape(attended_trend.shape[0], -1))
             tokens.append(attended_trend)
         mm_in = jnp.stack(tokens, axis=1)  # [N, n_tokens, E]
-        attended_mm, _ = AdditiveAttention(
+        attended_mm, alphas["multimodal"] = AdditiveAttention(
             self.attention_dim, weight_on=self.weight_on,
             use_pallas=self.use_pallas,
             name="multimodal_attention")(mm_in, hidden)
         final = mm_in + attended_mm  # residual (CrossAttnRNN210.py:207)
-        return nn.Dense(self.embedding_dim, name="multimodal_embedder")(
+        context = nn.Dense(self.embedding_dim, name="multimodal_embedder")(
             final.sum(axis=1))
+        return context, alphas
 
 
 class CrossAttnRNN21(nn.Module):
@@ -156,12 +158,12 @@ class CrossAttnRNN21(nn.Module):
         # Sales-history GRU -> decoder context (CrossAttnRNN21.py:176-179).
         _, hidden = GRU(self.hidden_dim, name="sales_encoder_gru")(X)
 
-        context = _FusionAttention(
+        context, _alphas = _FusionAttention(
             self.embedding_dim, self.attention_dim, use_img=self.use_img,
             use_pallas=self.use_pallas,
             name="fusion")(img_enc, trend_enc, dummy_enc, attr_enc, hidden)
         pred = nn.Dense(1, name="decoder_fc")(context)
-        return pred.reshape(B, W, 1), None
+        return pred.reshape(B, W, 1), None  # (forecast, None) per reference :211
 
 
 class _DecodeCell(nn.Module):
@@ -183,7 +185,7 @@ class _DecodeCell(nn.Module):
         hidden, dec_in = carry
         img_enc, trend_enc, dummy_enc, attr_enc = statics
         y_t, coin_t = step_in
-        context = _FusionAttention(
+        context, alphas = _FusionAttention(
             self.embedding_dim, self.attention_dim, weight_on=self.weight_on,
             use_img=self.use_img, use_att=self.use_att,
             use_trends=self.use_trends, use_pallas=self.use_pallas,
@@ -193,7 +195,7 @@ class _DecodeCell(nn.Module):
         hidden = GRUCellModule(self.hidden_dim, name="decoder_cell")(gru_in, hidden)
         pred = nn.Dense(1, name="decoder_fc")(hidden)  # [N, 1]
         next_in = jnp.where(coin_t, y_t[:, None], pred)
-        return (hidden, next_in), pred[:, 0]
+        return (hidden, next_in), (pred[:, 0], alphas)
 
 
 class CrossAttnRNN210(nn.Module):
@@ -253,9 +255,9 @@ class CrossAttnRNN210(nn.Module):
             out_axes=0,
         )(self.embedding_dim, self.attention_dim, self.hidden_dim,
           use_img=self.use_img, use_pallas=self.use_pallas, name="decoder")
-        _, preds = cell((hidden, dec_in),
-                        (img_enc, trend_enc, dummy_enc, attr_enc),
-                        (ys, coins))
+        _, (preds, _alphas) = cell((hidden, dec_in),
+                                   (img_enc, trend_enc, dummy_enc, attr_enc),
+                                   (ys, coins))
         return preds.T.reshape(B * W, self.out_len), None
 
 
@@ -318,7 +320,9 @@ class CrossAttnRNNDemand(nn.Module):
           weight_on="projected", use_img=self.use_img, use_att=self.use_att,
           use_trends=self.use_trends, use_pallas=self.use_pallas,
           name="decoder")
-        _, preds = cell((hidden, dec_in),
-                        (img_enc, trend_enc, dummy_enc, attr_enc),
-                        (ys, coins))
-        return preds.T[..., None], None  # [N, 12, 1] like the reference
+        _, (preds, alphas) = cell((hidden, dec_in),
+                                  (img_enc, trend_enc, dummy_enc, attr_enc),
+                                  (ys, coins))
+        # aux carries the per-step attention weights the reference collects
+        # (CrossAttnRNNDemand.py:280,293,321): each entry is [T, N, L].
+        return preds.T[..., None], alphas
