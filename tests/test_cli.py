@@ -50,3 +50,33 @@ def test_train_transformer_cli(synthetic_dataset, tmp_path):
     ])
     best = train_transformer.run(args)
     assert best is not None
+
+
+def test_score_split_one_pass_matches_batched(synthetic_dataset):
+    """The single-dispatch scan over the whole split must reproduce the
+    per-batch scorer exactly, data-sharded over the 8-device mesh."""
+    import jax
+
+    from visuelle2_tpu.data.images import ImageStore
+    from visuelle2_tpu.data.loader import BatchLoader
+    from visuelle2_tpu.data.pipeline import load_visuelle2
+    from visuelle2_tpu.eval.forecast import score_split
+    from visuelle2_tpu.models import VocabSizes, build
+    from visuelle2_tpu.parallel.mesh import make_mesh
+
+    arrays = load_visuelle2(synthetic_dataset, "test", demand=True, output_len=12)
+    store = ImageStore.build(synthetic_dataset + "/images", arrays.image_paths,
+                             size=32)
+    loader = BatchLoader(arrays, store, 16)
+    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+                  embedding_dim=16, hidden_dim=16, image_arch="tiny")
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           next(iter(loader)), train=False)
+    mesh = make_mesh(data=8, model=1)
+    r1 = score_split(model, variables, loader, mesh=mesh,
+                     measure_throughput=False)
+    r2 = score_split(model, variables, loader, mesh=mesh,
+                     measure_throughput=False, one_pass=True)
+    assert abs(r1.wape - r2.wape) < 1e-3
+    assert abs(r1.mae - r2.mae) < 1e-4

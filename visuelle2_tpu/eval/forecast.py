@@ -22,7 +22,7 @@ import numpy as np
 
 from visuelle2_tpu.data.loader import BatchLoader
 from visuelle2_tpu.eval.profiler import compiled_flops
-from visuelle2_tpu.ops.metrics import finalize_metrics
+from visuelle2_tpu.ops.metrics import eval_metrics, finalize_metrics
 from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh
 from visuelle2_tpu.train.loop import expand_mask, target_and_pred
 
@@ -47,7 +47,15 @@ class ForecastResult:
 
 def score_split(model, variables, loader: BatchLoader, *, mesh=None,
                 norm_scalar: float = 53.0, measure_throughput: bool = True,
-                timing_iters: int = 5) -> ForecastResult:
+                timing_iters: int = 5, one_pass: bool = False) -> ForecastResult:
+    """Score a test split.
+
+    ``one_pass=True`` stacks every batch and scores the ENTIRE split in a
+    single jitted ``lax.scan`` dispatch — the split stays resident in HBM,
+    sharded over the mesh's ``data`` axis, with zero per-batch host round
+    trips (the north-star single-pass mode).  Default mode reuses one
+    compiled step per batch (lower peak memory).
+    """
     mesh = mesh if mesh is not None else make_mesh(model=1)
     sharding = batch_sharding(mesh)
     n_chips = mesh.devices.size
@@ -57,18 +65,40 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
         forecast, _ = model.apply(variables, batch, train=False)
         target, pred = target_and_pred(batch, forecast)
         row_mask = expand_mask(batch, target)
-        abs_err = jnp.sum(jnp.abs(target - pred) * row_mask[:, None]) * norm_scalar
-        abs_gt = jnp.sum(jnp.abs(target) * row_mask[:, None]) * norm_scalar
-        count = row_mask.sum() * target.shape[-1]
-        return {"abs_err": abs_err, "abs_gt": abs_gt, "count": count}
+        return eval_metrics(target, pred, row_mask, norm_scalar=norm_scalar)
 
-    sums = None
-    batches = []
-    for batch in loader:
-        batch = jax.device_put(batch, sharding)
-        batches.append(batch)
-        part = eval_step(variables, batch)
-        sums = part if sums is None else jax.tree_util.tree_map(jnp.add, sums, part)
+    if one_pass:
+        host_batches = list(loader)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *host_batches)
+        # Shard the within-batch axis (axis 1) over data; scan over axis 0.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked = jax.device_put(
+            stacked, NamedSharding(mesh, P(None, "data")))
+
+        @jax.jit
+        def scan_all(variables, stacked):
+            def body(carry, batch):
+                part = eval_step(variables, batch)
+                return jax.tree_util.tree_map(jnp.add, carry, part), ()
+
+            init = {"abs_err": jnp.zeros(()), "abs_gt": jnp.zeros(()),
+                    "count": jnp.zeros(())}
+            sums, _ = jax.lax.scan(body, init, stacked)
+            return sums
+
+        sums = scan_all(variables, stacked)
+        batches = host_batches[:1] and [jax.device_put(host_batches[0], sharding)]
+    else:
+        sums = None
+        batches = []
+        for batch in loader:
+            batch = jax.device_put(batch, sharding)
+            batches.append(batch)
+            part = eval_step(variables, batch)
+            sums = part if sums is None else jax.tree_util.tree_map(
+                jnp.add, sums, part)
     sums = {k: float(v) for k, v in sums.items()}
     fin = finalize_metrics(sums)
 

@@ -137,21 +137,9 @@ class ResNetBackbone(nn.Module):
         return x
 
 
-def trainable_mask(params: Dict, finetune_stages=("layer3", "layer4")) -> Dict:
-    """Label tree for optax.masked reproducing the reference freeze split
-    (``CrossAttnRNN21.py:63-65``): True where gradients should apply.
-
-    Any top-level key starting with a finetune stage is trainable; conv1/bn1/
-    layer1/layer2 are frozen.
-    """
-    import jax
-
-    def label(path, _):
-        top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        return any(top.startswith(s) for s in finetune_stages)
-
-    return jax.tree_util.tree_map_with_path(label, params)
-
+# The reference freeze split (finetune layer3/layer4 only,
+# CrossAttnRNN21.py:63-65) is applied by the optimizer — see
+# visuelle2_tpu.train.optim.partition_trainable.
 
 # --------------------------------------------------------------------------
 # torchvision state_dict conversion

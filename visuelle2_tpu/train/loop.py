@@ -29,7 +29,7 @@ import numpy as np
 from flax import core, struct
 
 from visuelle2_tpu.data.loader import BatchLoader
-from visuelle2_tpu.ops.metrics import finalize_metrics
+from visuelle2_tpu.ops.metrics import eval_metrics, finalize_metrics
 from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from visuelle2_tpu.train import optim as optim_lib
 
@@ -169,11 +169,7 @@ class Trainer:
             (forecast, _aux) = model.apply(variables, batch, train=False)
             target, pred = target_and_pred(batch, forecast)
             row_mask = expand_mask(batch, target)
-            s = cfg.norm_scalar
-            abs_err = jnp.sum(jnp.abs(target - pred) * row_mask[:, None]) * s
-            abs_gt = jnp.sum(jnp.abs(target) * row_mask[:, None]) * s
-            count = row_mask.sum() * target.shape[-1]
-            return {"abs_err": abs_err, "abs_gt": abs_gt, "count": count}
+            return eval_metrics(target, pred, row_mask, norm_scalar=cfg.norm_scalar)
 
         return jax.jit(step_fn)
 
