@@ -54,7 +54,8 @@ def run(args):
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     result = score_split(model, variables, loaders["test"],
-                         norm_scalar=norm_scalar)
+                         norm_scalar=norm_scalar,
+                         one_pass=bool(getattr(args, "one_pass", False)))
     print(result.summary())
     print(f"WAPE: {result.wape}")
     print(f"MAE: {result.mae}")
@@ -74,6 +75,8 @@ def build_parser():
     p.add_argument("--task_mode", type=int, default=0, help="0->2-1, 1->2-10")
     p.add_argument("--ckpt_path", type=str, default="",
                    help="checkpoint directory written by train_dl")
+    p.add_argument("--one_pass", action="store_true",
+                   help="score the whole split in one jitted scan dispatch")
     return p
 
 

@@ -34,7 +34,8 @@ def run(args):
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     result = score_split(model, variables, loaders["test"],
-                         norm_scalar=norm_scalar)
+                         norm_scalar=norm_scalar,
+                         one_pass=bool(getattr(args, "one_pass", False)))
     print(result.summary())
     print(f"WAPE: {result.wape}")
     print(f"MAE: {result.mae}")
@@ -46,6 +47,8 @@ def build_parser(default_model="gtm"):
 
     p = train_parser(default_model)
     p.add_argument("--ckpt_path", type=str, default="")
+    p.add_argument("--one_pass", action="store_true",
+                   help="score the whole split in one jitted scan dispatch")
     return p
 
 
