@@ -7,10 +7,8 @@ one-pass sharded scorer.
 
 from __future__ import annotations
 
-import argparse
-
-from visuelle2_tpu.cli.common import add_common_args, build_loaders
-from visuelle2_tpu.cli.train_transformer import TRANSFORMER_MODELS, make_model
+from visuelle2_tpu.cli.common import build_loaders
+from visuelle2_tpu.cli.train_transformer import make_model
 from visuelle2_tpu.eval.forecast import score_split
 from visuelle2_tpu.train.checkpoint import CheckpointManager
 from visuelle2_tpu.train.loop import Trainer, TrainConfig

@@ -29,7 +29,6 @@ Demand task replaces ``X, y`` with ``ts`` float32 ``[N, 12]``.
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 import json
 import os
 from typing import Dict, Optional
@@ -110,7 +109,7 @@ def frame_series(clean_sales: np.ndarray, train_window: int = TRAIN_WINDOW,
     """Sliding-window framing (reference ``dataset.py:96-109``).
 
     For a 12-week series there are ``12 - train_window - H + 1`` windows per
-    item (9 for H=1, 1 for H=10).  Implemented with stride tricks rather than a
+    item (10 for H=1, 1 for H=10).  Implemented with stride tricks rather than a
     per-item Python loop.
     """
     n, weeks = clean_sales.shape

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +89,9 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
             return sums
 
         sums = scan_all(variables, stacked)
-        batches = host_batches[:1] and [jax.device_put(host_batches[0], sharding)]
+        # Keep one device batch around for the FLOPs/throughput probes below.
+        batches = ([jax.device_put(host_batches[0], sharding)]
+                   if host_batches else [])
     else:
         sums = None
         batches = []

@@ -15,8 +15,6 @@ Batch dict fields (produced by ``data.loader.BatchLoader``):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 
 

@@ -25,7 +25,7 @@ Faithful pieces:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax

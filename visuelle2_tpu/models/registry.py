@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from visuelle2_tpu.models.base import VocabSizes
 from visuelle2_tpu.models.cross_attn_rnn import (
     CrossAttnRNN21,
     CrossAttnRNN210,

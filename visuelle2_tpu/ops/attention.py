@@ -22,8 +22,6 @@ these XLA versions are the reference implementations used for parity tests.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -10,9 +10,8 @@ GTM family, ``train_GTM_visuelle2.py:119-125``).  Saves params + batch_stats
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 
