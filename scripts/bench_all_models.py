@@ -1,0 +1,103 @@
+"""Per-task inference throughput on the real TPU, scan methodology.
+
+Measures forecasts/sec/chip for every benchmark task's model at reference
+dims (512-dim CrossAttnRNN family, 32/64 GTM family, ResNet-101 @299 bf16),
+using the same sound methodology as bench.py (one jitted lax.scan over
+distinct image batches, fetch barrier).  Writes docs/bench_all_models.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _synthetic_batch
+from visuelle2_tpu.eval.profiler import compiled_flops
+from visuelle2_tpu.models import VocabSizes, build
+
+VOCAB = VocabSizes(5, 6, 5, 126)
+BATCH, ITERS, IMAGE = 128, 8, 299
+
+
+def stfore_batch(n, w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    b = _synthetic_batch(n, IMAGE, seed)
+    del b["ts"]
+    b["X"] = rng.random((n, w, 2)).astype(np.float32)
+    b["y"] = rng.random((n, w, h)).astype(np.float32)
+    return b
+
+
+CONFIGS = {
+    # (builder kwargs, batch factory) — window counts: H=1 -> 10, H=10 -> 1.
+    "cross_attn_rnn_21": (dict(out_len=1), lambda s: stfore_batch(BATCH, 10, 1, s)),
+    "cross_attn_rnn_210": (dict(out_len=10, use_teacher_forcing=False),
+                           lambda s: stfore_batch(BATCH, 1, 10, s)),
+    "cross_attn_rnn_demand": (dict(out_len=12, use_teacher_forcing=False),
+                              lambda s: _synthetic_batch(BATCH, IMAGE, s)),
+    "gtm": (dict(output_len=12), lambda s: _synthetic_batch(BATCH, IMAGE, s)),
+    "gated_v4": (dict(output_len=12), lambda s: _synthetic_batch(BATCH, IMAGE, s)),
+}
+
+
+def main():
+    results = {}
+    for name, (kw, make_batch) in CONFIGS.items():
+        model = build(name, vocab=VOCAB, image_arch="resnet101",
+                      image_dtype=jnp.bfloat16, **kw)
+        batch = make_batch(0)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch, train=False)
+
+        @jax.jit
+        def scan_batches(variables, batch, image_stack):
+            def body(_, images_t):
+                f, _aux = model.apply(variables, dict(batch, images=images_t),
+                                      train=False)
+                return 0, f
+            _, fs = jax.lax.scan(body, 0, image_stack)
+            return fs
+
+        @jax.jit
+        def single(variables, batch):
+            return model.apply(variables, batch, train=False)[0]
+
+        rng = np.random.default_rng(11)
+        mk = lambda: rng.integers(0, 255, (ITERS, BATCH, IMAGE, IMAGE, 3)).astype(np.uint8)
+        variables = jax.device_put(variables)
+        batch = jax.device_put(batch)
+        d_warm = jax.device_put(mk())
+        d_timed = jax.device_put(mk())
+        gflops = compiled_flops(single, variables, batch)
+        np.asarray(scan_batches(variables, batch, d_warm))
+        t0 = time.perf_counter()
+        np.asarray(scan_batches(variables, batch, d_timed))
+        dt = (time.perf_counter() - t0) / ITERS
+        fps = BATCH / dt
+        results[name] = {
+            "ms_per_batch": round(dt * 1e3, 1),
+            "forecasts_per_sec_per_chip": round(fps, 1),
+            "gflops_per_sample": round(gflops / BATCH / 1e9, 2) if gflops else None,
+            "tflops_per_sec": round(gflops / dt / 1e12, 1) if gflops else None,
+        }
+        print(name, results[name], flush=True)
+        # Free device memory between models.
+        del d_warm, d_timed, variables, batch
+
+    with open(os.path.join(REPO, "docs", "bench_all_models.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ TASKS = {
 }
 
 
-def main(root="/tmp/vis2_matrix", epochs=5):
+def main(root="/tmp/vis2_matrix", epochs=int(os.environ.get("MATRIX_EPOCHS", 5))):
     if not os.path.isfile(os.path.join(root, "stfore_train.csv")):
         make_synthetic_dataset(root, num_train=256, num_test=64, image_size=32)
 

@@ -90,3 +90,20 @@ def test_models_pallas_path_matches_xla(rng):
         go, gh = GRU(12, use_pallas=True).apply(gvars, x)
     np.testing.assert_allclose(np.asarray(go), np.asarray(wo), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gh), np.asarray(wh), atol=1e-5)
+
+
+def test_tg_fusion_pallas_path_matches_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from visuelle2_tpu.models.fusion import TextGuidedFusionNetwork
+
+    img = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32))
+    text = jnp.asarray(rng.standard_normal((6, 4, 16)).astype(np.float32))
+    dummy = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32))
+    ref = TextGuidedFusionNetwork(16, 16)
+    variables = ref.init(jax.random.key(0), img, text, dummy)
+    want = ref.apply(variables, img, text, dummy)
+    with pltpu.force_tpu_interpret_mode():
+        got = TextGuidedFusionNetwork(16, 16, use_pallas=True).apply(
+            variables, img, text, dummy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

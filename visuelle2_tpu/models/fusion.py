@@ -27,6 +27,40 @@ from flax import linen as nn
 from visuelle2_tpu.models.norms import BatchNorm1d
 
 
+
+class _GateParams(nn.Module):
+    """Dense-compatible gate parameters ({name: {kernel, bias}}) shared by the
+    XLA and Pallas execution paths."""
+
+    shape: tuple
+    bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.constant(self.bias_init),
+                       (self.shape[-1],))
+        return k, b
+
+
+def _gated_residual(x, ctx, kernel, bias, *, residual=True, use_pallas=False):
+    """σ-gate with concat([ctx, x]) @ kernel + bias semantics.
+
+    ``kernel`` is the Dense kernel over the concatenation [ctx, x] (rows
+    0..C-1 belong to ctx); the Pallas path splits it and runs the fused
+    VMEM-resident kernel (ops/pallas/gated_fusion.py), the XLA path is the
+    plain formula.  residual=True -> x + x·g, else x·g.
+    """
+    C = ctx.shape[-1]
+    if use_pallas:
+        from visuelle2_tpu.ops.pallas.gated_fusion import fused_gated_residual
+
+        return fused_gated_residual(x, ctx, kernel[C:], kernel[:C], bias,
+                                    residual=residual)
+    g = jax.nn.sigmoid(jnp.concatenate([ctx, x], axis=-1) @ kernel + bias)
+    return x + x * g if residual else x * g
+
+
 def _flatten_text(text_encoding):
     """[B, 4, E] -> [B, 4E] (GTM_Visuelle2.py:167)."""
     return text_encoding.reshape(text_encoding.shape[0], -1)
@@ -163,16 +197,18 @@ class TextGuidedFusionNetwork(nn.Module):
     embedding_dim: int
     hidden_dim: int
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, img, text, dummy, *, train=False, deterministic=True):
         text_flat = _flatten_text(text)
-        img_gate = jax.nn.sigmoid(nn.Dense(img.shape[-1], name="img_gate_fc")(
-            jnp.concatenate([text_flat, img], axis=-1)))
-        gated_img = img + img * img_gate
-        dummy_gate = jax.nn.sigmoid(nn.Dense(dummy.shape[-1], name="dummy_gate_fc")(
-            jnp.concatenate([text_flat, dummy], axis=-1)))
-        gated_dummy = dummy + dummy * dummy_gate
+        C, Di, Dd = text_flat.shape[-1], img.shape[-1], dummy.shape[-1]
+        img_w = _GateParams((C + Di, Di), name="img_gate_fc")()
+        dummy_w = _GateParams((C + Dd, Dd), name="dummy_gate_fc")()
+        gated_img = _gated_residual(img, text_flat, *img_w,
+                                    use_pallas=self.use_pallas)
+        gated_dummy = _gated_residual(dummy, text_flat, *dummy_w,
+                                      use_pallas=self.use_pallas)
         x = jnp.concatenate([gated_img, text_flat, gated_dummy], axis=-1)
         x = nn.Dense(self.hidden_dim, name="fusion_fc")(x)
         x = nn.relu(nn.LayerNorm(name="fusion_norm")(x))

@@ -92,6 +92,7 @@ class Seq2SeqForecaster(nn.Module):
     query_modality: str = "text"  # v3 only (Proposed_model_v3.py:245)
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    use_pallas: bool = False  # route gated fusion through the fused TPU kernel
 
     @nn.compact
     def __call__(self, batch, *, train=False):
@@ -162,7 +163,8 @@ class Seq2SeqForecaster(nn.Module):
             "targ_v3": lambda: TARGFusionNetwork(
                 H, query_modality=self.query_modality, name="fusion")(
                 h_dummy, h_text, h_img, train=train, deterministic=det),
-            "tg_v4": lambda: TextGuidedFusionNetwork(E, H, dropout=0.1, name="fusion")(
+            "tg_v4": lambda: TextGuidedFusionNetwork(
+                E, H, dropout=0.1, use_pallas=self.use_pallas, name="fusion")(
                 h_img, h_text, h_dummy, train=train, deterministic=det),
         }
         static_context = fusions[cfg.fusion]()
