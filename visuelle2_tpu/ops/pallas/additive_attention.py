@@ -47,12 +47,24 @@ def fused_additive_attention(encoder_out, decoder_hidden, we, wd, v, vb, *,
                              weight_on: str = "inputs", block_b: int = 64,
                              interpret: bool = False):
     """encoder_out [B, L, De], decoder_hidden [B, Dd], We [De, A], Wd [Dd, A],
-    v [A, 1], vb [1] -> (weighted [B, L, Dw], alpha [B, L])."""
+    v [A, 1], vb [1] -> (weighted [B, L, Dw], alpha [B, L]).
+
+    The batch tile auto-sizes to the VMEM budget: per row the kernel holds the
+    enc block, the h_j/tanh scratch and the output block (~L·(De+2A+Dw)·4 B),
+    plus the weight matrices; blocks are pipelined double-buffered, so target
+    well under the 16 MB scoped limit (production dims De=A=512, L=52 OOM'd
+    the fixed tile on v5e).
+    """
     B, L, De = encoder_out.shape
     A = we.shape[1]
     Dw = De if weight_on == "inputs" else A
 
-    tb = min(block_b, B)
+    weight_bytes = (De * A + wd.shape[0] * A) * 4
+    per_row = L * (De + 2 * A + Dw) * 4
+    budget = 10 * 2 ** 20 - weight_bytes  # leave headroom for double buffers
+    auto_tb = max(8, min(block_b, budget // max(per_row, 1)))
+    auto_tb = (auto_tb // 8) * 8 or 8
+    tb = min(auto_tb, B)
     pad = (-B) % tb
     if pad:
         encoder_out = jnp.pad(encoder_out, ((0, pad), (0, 0), (0, 0)))
