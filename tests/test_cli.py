@@ -80,3 +80,27 @@ def test_score_split_one_pass_matches_batched(synthetic_dataset):
                      measure_throughput=False, one_pass=True)
     assert abs(r1.wape - r2.wape) < 1e-3
     assert abs(r1.mae - r2.mae) < 1e-4
+
+
+def test_forecast_accepts_step_path(synthetic_dataset, tmp_path):
+    """run_all hands forecast the best *step* directory (what train prints);
+    the resolver must accept both that and the manager root."""
+    train_args = train_dl.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--task_mode", "0",
+        "--output_len", "1", "--epochs", "1", "--batch_size", "16",
+        "--embedding_dim", "16", "--attention_dim", "16", "--hidden_dim", "16",
+        "--image_arch", "tiny", "--image_size", "32",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+    ])
+    best = train_dl.run(train_args)
+    assert best is not None and best.rstrip("/").split("/")[-1].isdigit()
+
+    fc_args = forecast_dl.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--task_mode", "0",
+        "--batch_size", "16",
+        "--embedding_dim", "16", "--attention_dim", "16", "--hidden_dim", "16",
+        "--image_arch", "tiny", "--image_size", "32",
+        "--ckpt_path", best,
+    ])
+    result = forecast_dl.run(fc_args)
+    assert np.isfinite(result.wape)

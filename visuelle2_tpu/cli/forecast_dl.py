@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from visuelle2_tpu.cli.common import add_common_args, build_loaders
 from visuelle2_tpu.eval.forecast import score_split
 from visuelle2_tpu.models import build
-from visuelle2_tpu.train.checkpoint import CheckpointManager
+from visuelle2_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_path
 from visuelle2_tpu.train.loop import Trainer, TrainConfig
 
 
@@ -46,8 +46,9 @@ def run(args):
     trainer = Trainer(model, TrainConfig(norm_scalar=norm_scalar))
     state = trainer.init_state(next(iter(loaders["test"])))
     if args.ckpt_path:
-        ckpt = CheckpointManager(args.ckpt_path)
-        state = ckpt.restore(state)
+        root, step = resolve_ckpt_path(args.ckpt_path)
+        ckpt = CheckpointManager(root)
+        state = ckpt.restore(state, step=step)
         ckpt.close()
 
     variables = {"params": state.params}

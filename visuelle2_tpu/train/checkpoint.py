@@ -15,6 +15,17 @@ from typing import Dict, Optional
 import orbax.checkpoint as ocp
 
 
+def resolve_ckpt_path(path: str):
+    """Accept either a manager root directory or a specific step directory
+    (what ``best_model_path`` returns / the trainer prints): returns
+    ``(root, step_or_None)``."""
+    path = os.path.abspath(path)
+    base = os.path.basename(path)
+    if base.isdigit():
+        return os.path.dirname(path), int(base)
+    return path, None
+
+
 class CheckpointManager:
     def __init__(self, directory: str, *, save_top_k: int = 2,
                  monitor: str = "val_wWAPE", mode: str = "min"):
