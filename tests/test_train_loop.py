@@ -70,16 +70,44 @@ def test_data_parallel_mesh_matches_single_device(synthetic_dataset):
     assert m1["val_mae"] == pytest.approx(m8["val_mae"], rel=1e-4)
 
 
-def test_tensor_parallel_train_step_runs(synthetic_dataset):
-    """data=4 x model=2 mesh: one train step compiles and executes."""
+def _model_sharded_leaves(params):
+    return [
+        jax.tree_util.keystr(path)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+        if any(ax == "model" for ax in (leaf.sharding.spec or ()) if ax)
+    ]
+
+
+def test_tensor_parallel_matches_replicated(synthetic_dataset):
+    """data=4 x model=2 mesh: params genuinely shard over ``model`` and the
+    train-step loss matches the pure data-parallel (replicated-params) run."""
     train_loader, _ = _loaders(synthetic_dataset, True, 12)
     model = build("m4ft", vocab=VOCAB, output_len=12, **SMALL_GTM)
-    trainer = Trainer(model, TrainConfig(epochs=1, batch_size=16, grad_clip=0.5),
-                      mesh=make_mesh(data=4, model=2))
-    state = trainer.init_state(next(iter(train_loader)))
     batch = next(iter(train_loader))
-    state, metrics = trainer.train_step(state, batch, jax.random.key(0))
-    assert np.isfinite(float(metrics["loss"]))
+
+    tp = Trainer(model, TrainConfig(epochs=1, batch_size=16, grad_clip=0.5,
+                                    tp_min_dim=8),
+                 mesh=make_mesh(data=4, model=2))
+    s_tp = tp.init_state(batch)
+    sharded = _model_sharded_leaves(s_tp.params)
+    assert sharded, "no parameter is sharded over the model axis"
+    s_tp, m_tp = tp.train_step(s_tp, batch, jax.random.key(0))
+
+    dp = Trainer(model, TrainConfig(epochs=1, batch_size=16, grad_clip=0.5),
+                 mesh=make_mesh(data=8, model=1))
+    s_dp = dp.init_state(batch)
+    s_dp, m_dp = dp.train_step(s_dp, batch, jax.random.key(0))
+
+    assert np.isfinite(float(m_tp["loss"]))
+    assert float(m_tp["loss"]) == pytest.approx(float(m_dp["loss"]), rel=1e-5)
+    # And the updated params agree too (same Adafactor step, resharded math).
+    k = sharded[0]
+    flat_tp = {jax.tree_util.keystr(p): l for p, l in
+               jax.tree_util.tree_leaves_with_path(s_tp.params)}
+    flat_dp = {jax.tree_util.keystr(p): l for p, l in
+               jax.tree_util.tree_leaves_with_path(s_dp.params)}
+    np.testing.assert_allclose(np.asarray(flat_tp[k]), np.asarray(flat_dp[k]),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_checkpoint_save_restore(synthetic_dataset, tmp_path):

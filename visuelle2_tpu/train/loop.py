@@ -31,6 +31,7 @@ from flax import core, struct
 from visuelle2_tpu.data.loader import BatchLoader
 from visuelle2_tpu.ops.metrics import eval_metrics, finalize_metrics
 from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from visuelle2_tpu.parallel.sharding import infer_param_sharding
 from visuelle2_tpu.train import optim as optim_lib
 
 
@@ -95,6 +96,11 @@ class TrainConfig:
     log_every: int = 50
     norm_scalar: float = 53.0
     data_parallel: bool = True
+    # Tensor parallelism: kernels with a trailing dim >= tp_min_dim (and
+    # divisible by the mesh's model axis) are column-sharded over ``model``
+    # (parallel/sharding.py); the default matches real model dims, tests
+    # lower it to shard tiny configs.
+    tp_min_dim: int = 64
 
 
 class Trainer:
@@ -115,14 +121,39 @@ class Trainer:
         rngs = {"params": jax.random.key(self.config.seed),
                 "dropout": jax.random.key(self.config.seed + 1),
                 "sampling": jax.random.key(self.config.seed + 2)}
-        # jit the whole init: one compiled program instead of thousands of
-        # eager dispatches (critical under remote/tunneled TPU runtimes).
-        init_fn = jax.jit(lambda r, b: self.model.init(r, b, train=False))
+        init_closure = lambda r, b: self.model.init(r, b, train=False)
+        tp = self.mesh.shape.get("model", 1) > 1
+        if tp:
+            # Tensor parallel: wide kernels column-shard over ``model``
+            # (parallel/sharding.py), everything else replicates.  Shardings
+            # are computed on abstract shapes and applied as jit
+            # out_shardings, so sharded params materialize directly in their
+            # final placement (never fully on one device).
+            abs_vars = jax.eval_shape(init_closure, rngs, example_batch)
+            out_shardings = {
+                k: (infer_param_sharding(v, self.mesh, self.config.tp_min_dim)
+                    if k == "params"
+                    else jax.tree_util.tree_map(lambda _: self._replicated, v))
+                for k, v in abs_vars.items()}
+            init_fn = jax.jit(init_closure, out_shardings=out_shardings)
+        else:
+            # jit the whole init: one compiled program instead of thousands
+            # of eager dispatches (critical under tunneled TPU runtimes).
+            init_fn = jax.jit(init_closure)
         variables = init_fn(rngs, example_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", core.FrozenDict())
         tx = optim_lib.make_optimizer(params, self.config.grad_clip,
                                       self.config.learning_rate)
+        if tp:
+            # Optimizer state inherits shardings from the (committed) params
+            # through XLA propagation; Adafactor's factored row/col stats end
+            # up sharded wherever the reduced kernel dim stays sharded.
+            opt_state = jax.jit(tx.init)(params)
+            return TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), self._replicated),
+                params=params, batch_stats=batch_stats,
+                opt_state=opt_state, tx=tx)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats, opt_state=tx.init(params),
                            tx=tx)

@@ -37,7 +37,10 @@ def adafactor(grad_clip: Optional[float] = None,
     (reference parity); pass a float/schedule to override (the warmup reaches
     lr 1e-2 only at step 10k, far too slow for smoke tests)."""
     tx = optax.adafactor(
-        learning_rate=learning_rate or fairseq_relative_step_schedule,
+        # `is None` (not `or`): an explicit learning_rate=0.0 must mean a
+        # frozen optimizer, not silently fall back to the schedule.
+        learning_rate=(fairseq_relative_step_schedule
+                       if learning_rate is None else learning_rate),
         multiply_by_parameter_scale=True,
         decay_rate=0.8,
         clipping_threshold=1.0,
