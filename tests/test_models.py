@@ -194,6 +194,56 @@ def test_resnet_conversion_matches_torch(rng):
         np.asarray(out), np.transpose(t_out, (0, 2, 3, 1)), atol=1e-3, rtol=1e-3)
 
 
+def test_inception_conversion_matches_torch(rng):
+    """Golden: flax InceptionV3 backbone with converted random torch weights
+    == torch forward (eval mode), exercising inception_params_from_torch on
+    every block type (stem, A, B, C, D, E) exactly like the ResNet test."""
+    import torch
+
+    from tests.torch_ref import TorchInception3
+    from visuelle2_tpu.models.inception import (InceptionV3Backbone,
+                                                inception_params_from_torch)
+
+    torch.manual_seed(0)
+    tnet = TorchInception3()
+    tnet.eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    # 75x75 is torchvision's minimum legal input; keeps CPU time small.
+    x = rng.standard_normal((1, 3, 75, 75)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.tensor(x)).numpy()  # NCHW
+
+    variables = inception_params_from_torch(tnet.state_dict())
+    net = InceptionV3Backbone()
+    out = net.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(t_out, (0, 2, 3, 1)), atol=2e-3, rtol=2e-3)
+
+
+def test_gtm_v1_hashed_text_stable_digest():
+    """The zero-egress text fallback must be reproducible across processes
+    (training vs later inference): crc32-seeded, NOT salted Python hash().
+    Hard-coded expectations pin the digest."""
+    from visuelle2_tpu.models.gtm_v1 import TextFeaturizer
+
+    feat = TextFeaturizer({"shirt": 0}, {"red": 0}, {"wool": 0}, use_bert=False)
+    vec = feat._hashed("red wool shirt")
+    assert vec.shape == (768,)
+    # crc32("red")=0x40f480cd etc. — these values must never change, or
+    # previously trained gtm_v1 checkpoints break on reload.
+    np.testing.assert_allclose(
+        vec[:4],
+        [0.13996342, -0.03222408, 0.21693845, -0.41637173],
+        rtol=1e-5, atol=1e-6)
+
+
 def test_gtm_v1_with_text_featurizer(demand12):
     from visuelle2_tpu.models.gtm_v1 import GTMv1, TextFeaturizer
 

@@ -68,9 +68,15 @@ class TextFeaturizer:
                       "using deterministic hashed text features")
 
     def _hashed(self, text: str) -> np.ndarray:
+        # Stable digest, NOT Python hash(): str hashing is salted per
+        # interpreter (PYTHONHASHSEED), so hash()-seeded features would
+        # differ between the training process and a later inference
+        # process, making reloaded gtm_v1 checkpoints score garbage.
+        import zlib
+
         vec = np.zeros(BERT_DIM, np.float32)
         for tok in text.split():
-            rng = np.random.default_rng(abs(hash(tok)) % (2 ** 32))
+            rng = np.random.default_rng(zlib.crc32(tok.encode("utf-8")))
             vec += rng.standard_normal(BERT_DIM).astype(np.float32)
         return vec / max(1, len(text.split()))
 
