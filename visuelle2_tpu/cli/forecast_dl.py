@@ -48,7 +48,9 @@ def run(args):
     if args.ckpt_path:
         root, step = resolve_ckpt_path(args.ckpt_path)
         ckpt = CheckpointManager(root)
-        state = ckpt.restore(state, step=step)
+        # Partial restore (params + batch_stats): forecast doesn't need —
+        # and must not have to reconstruct — the training opt_state.
+        state = ckpt.restore_for_eval(state, step=step)
         ckpt.close()
 
     variables = {"params": state.params}

@@ -26,7 +26,9 @@ def run(args):
     if args.ckpt_path:
         root, step = resolve_ckpt_path(args.ckpt_path)
         ckpt = CheckpointManager(root)
-        state = ckpt.restore(state, step=step)
+        # Partial restore: forecast doesn't know (or need) the training-time
+        # optimizer structure (grad-clip chain etc.).
+        state = ckpt.restore_for_eval(state, step=step)
         ckpt.close()
 
     variables = {"params": state.params}

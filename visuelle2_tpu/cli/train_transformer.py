@@ -36,6 +36,8 @@ def make_model(args, vocab):
         vocab=vocab,
         use_encoder_mask=bool(args.use_encoder_mask),
         autoregressive=bool(args.autoregressive),
+        use_text=bool(args.use_text),
+        use_img=bool(args.use_img),
         query_modality=args.query_modality,
         image_arch=args.image_arch,
         image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32,

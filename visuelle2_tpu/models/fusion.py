@@ -76,7 +76,14 @@ class GTMFusionNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, img, text, dummy, *, train=False, deterministic=True):
-        x = jnp.concatenate([img, _flatten_text(text), dummy], axis=-1)
+        # img/text may be None for modality ablations: the concat shrinks,
+        # GTM.py:62 semantics (input_dim = E + E*use_img + 4E*use_text).  The
+        # reference's Visuelle2 family *accepts* use_img/use_text ctor flags
+        # but never reads them (GTM_Visuelle2.py:179 — dead parameters); we
+        # implement the GTM.py:54-88 behavior instead of silently ignoring.
+        parts = [p for p in (img, None if text is None else _flatten_text(text),
+                             dummy) if p is not None]
+        x = jnp.concatenate(parts, axis=-1)
         D = x.shape[-1]
         x = BatchNorm1d(D, name="bn")(x, use_running_average=not train)
         x = nn.relu(nn.Dense(D, use_bias=False, name="fc1")(x))
@@ -108,6 +115,12 @@ class M4FTFusionNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, e_temp, e_text, e_vis, *, train=False, deterministic=True):
+        # Ablated modalities (None) contribute zero to every summation; the
+        # hierarchical block structure is preserved (see GTMFusionNetwork for
+        # why we implement ablation at all).
+        zero = jnp.zeros_like(e_temp)
+        e_text = zero if e_text is None else e_text
+        e_vis = zero if e_vis is None else e_vis
         out_tt = FusionBlock(self.hidden_dim, self.dropout, name="fusion_temp_text")(
             e_temp + e_text, train=train, deterministic=deterministic)
         out_tv = FusionBlock(self.hidden_dim, self.dropout, name="fusion_text_vis")(
@@ -136,10 +149,13 @@ class ResidualGatedFusionNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, img, text, dummy, *, train=False, deterministic=True):
-        g_img = GatedResidualBlock(name="img_gate")(img)
-        g_text = GatedResidualBlock(name="text_gate")(_flatten_text(text))
-        g_dummy = GatedResidualBlock(name="dummy_gate")(dummy)
-        x = jnp.concatenate([g_img, g_text, g_dummy], axis=-1)
+        parts = []
+        if img is not None:
+            parts.append(GatedResidualBlock(name="img_gate")(img))
+        if text is not None:
+            parts.append(GatedResidualBlock(name="text_gate")(_flatten_text(text)))
+        parts.append(GatedResidualBlock(name="dummy_gate")(dummy))
+        x = jnp.concatenate(parts, axis=-1)
         x = nn.relu(nn.Dense(self.hidden_dim, name="fusion_fc")(x))
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
@@ -155,7 +171,9 @@ class PureGatedFusionNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, img, text, dummy, *, train=False, deterministic=True):
-        x = jnp.concatenate([img, _flatten_text(text), dummy], axis=-1)
+        parts = [p for p in (img, None if text is None else _flatten_text(text),
+                             dummy) if p is not None]
+        x = jnp.concatenate(parts, axis=-1)
         gate = jax.nn.sigmoid(nn.Dense(
             x.shape[-1], name="gate_fc",
             bias_init=nn.initializers.constant(self.gate_bias_init))(x))
@@ -181,11 +199,18 @@ class TARGFusionNetwork(nn.Module):
             "temporal": (e_temp, e_text, e_vis),
         }
         q, c1, c2 = anchors[self.query_modality]
-        g1 = jax.nn.sigmoid(nn.Dense(self.hidden_dim, name="gate_fc1")(
-            jnp.concatenate([q, c1], axis=-1)))
-        g2 = jax.nn.sigmoid(nn.Dense(self.hidden_dim, name="gate_fc2")(
-            jnp.concatenate([q, c2], axis=-1)))
-        fused = q + c1 * g1 + c2 * g2
+        if q is None:
+            raise ValueError(
+                f"TARG anchor modality '{self.query_modality}' is ablated "
+                "(use_text/use_img) — pick another query_modality")
+        fused = q
+        # Ablated contexts (None) drop their gate entirely.
+        for i, c in enumerate((c1, c2), start=1):
+            if c is None:
+                continue
+            g = jax.nn.sigmoid(nn.Dense(self.hidden_dim, name=f"gate_fc{i}")(
+                jnp.concatenate([q, c], axis=-1)))
+            fused = fused + c * g
         return FusionBlock(self.hidden_dim, self.dropout, name="fusion_final")(
             fused, train=train, deterministic=deterministic)
 
@@ -201,15 +226,21 @@ class TextGuidedFusionNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, img, text, dummy, *, train=False, deterministic=True):
+        if text is None:
+            raise ValueError("TG-Fusion is text-anchored: use_text=False is "
+                             "structurally impossible for gated_v4")
         text_flat = _flatten_text(text)
-        C, Di, Dd = text_flat.shape[-1], img.shape[-1], dummy.shape[-1]
-        img_w = _GateParams((C + Di, Di), name="img_gate_fc")()
+        C, Dd = text_flat.shape[-1], dummy.shape[-1]
         dummy_w = _GateParams((C + Dd, Dd), name="dummy_gate_fc")()
-        gated_img = _gated_residual(img, text_flat, *img_w,
-                                    use_pallas=self.use_pallas)
         gated_dummy = _gated_residual(dummy, text_flat, *dummy_w,
                                       use_pallas=self.use_pallas)
-        x = jnp.concatenate([gated_img, text_flat, gated_dummy], axis=-1)
+        parts = [text_flat, gated_dummy]
+        if img is not None:
+            img_w = _GateParams((C + img.shape[-1], img.shape[-1]),
+                                name="img_gate_fc")()
+            parts.insert(0, _gated_residual(img, text_flat, *img_w,
+                                            use_pallas=self.use_pallas))
+        x = jnp.concatenate(parts, axis=-1)
         x = nn.Dense(self.hidden_dim, name="fusion_fc")(x)
         x = nn.relu(nn.LayerNorm(name="fusion_norm")(x))
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)

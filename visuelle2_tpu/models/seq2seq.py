@@ -89,6 +89,13 @@ class Seq2SeqForecaster(nn.Module):
     num_trends: int = 3
     use_encoder_mask: bool = True
     autoregressive: bool = False
+    # Modality ablations.  The reference's Visuelle2 family accepts these ctor
+    # flags but never reads them (GTM_Visuelle2.py:179, train_GTM_visuelle2.py:
+    # 100-101 — dead parameters); we give them the GTM.py:54-88 semantics:
+    # the disabled modality's encoder is skipped entirely (no ResNet pass for
+    # use_img=False) and the fusion input shrinks/drops its term.
+    use_text: bool = True
+    use_img: bool = True
     query_modality: str = "text"  # v3 only (Proposed_model_v3.py:245)
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
@@ -119,35 +126,44 @@ class Seq2SeqForecaster(nn.Module):
         memory = repeat_windows(memory, W)
 
         # ----- Static modality encoders -------------------------------------
+        # Ablated modalities (use_text/use_img False) skip their encoder
+        # entirely — for images that skips the whole CNN backbone.
+        h_text = h_img = None
         if cfg.encoder_style == "gtm":
-            h_text = AttributeEncoder(
-                self.vocab.num_cat, self.vocab.num_col, self.vocab.num_fab,
-                self.vocab.num_store, E, combine="stack",
-                name="text_encoder")(
-                batch["cat"], batch["col"], batch["fab"], batch["store"],
-                deterministic=det)
-            h_img = ImagePooledEncoder(
-                E, arch=self.image_arch, dtype=self.image_dtype,
-                name="image_encoder")(
-                batch["images"], train=train, deterministic=det)
+            if self.use_text:
+                h_text = AttributeEncoder(
+                    self.vocab.num_cat, self.vocab.num_col, self.vocab.num_fab,
+                    self.vocab.num_store, E, combine="stack",
+                    name="text_encoder")(
+                    batch["cat"], batch["col"], batch["fab"], batch["store"],
+                    deterministic=det)
+            if self.use_img:
+                h_img = ImagePooledEncoder(
+                    E, arch=self.image_arch, dtype=self.image_dtype,
+                    name="image_encoder")(
+                    batch["images"], train=train, deterministic=det)
             h_dummy = DummyEmbedder(E, name="dummy_encoder")(
                 batch["temporal"], deterministic=det)
         else:  # m4ft: everything projected to hidden_dim
-            h_text = AttributeEncoder(
-                self.vocab.num_cat, self.vocab.num_col, self.vocab.num_fab,
-                self.vocab.num_store, E, combine="concat_proj", hidden_dim=H,
-                name="text_encoder")(
-                batch["cat"], batch["col"], batch["fab"], batch["store"],
-                deterministic=det)
-            h_img = ImagePooledEncoder(
-                E, final_dim=H, arch=self.image_arch, dtype=self.image_dtype,
-                name="image_encoder")(
-                batch["images"], train=train, deterministic=det)
+            if self.use_text:
+                h_text = AttributeEncoder(
+                    self.vocab.num_cat, self.vocab.num_col, self.vocab.num_fab,
+                    self.vocab.num_store, E, combine="concat_proj", hidden_dim=H,
+                    name="text_encoder")(
+                    batch["cat"], batch["col"], batch["fab"], batch["store"],
+                    deterministic=det)
+            if self.use_img:
+                h_img = ImagePooledEncoder(
+                    E, final_dim=H, arch=self.image_arch, dtype=self.image_dtype,
+                    name="image_encoder")(
+                    batch["images"], train=train, deterministic=det)
             h_dummy = TemporalEmbedder(E, H, name="temporal_encoder")(
                 batch["temporal"], deterministic=det)
 
-        h_text = repeat_windows(h_text, W)
-        h_img = repeat_windows(h_img, W)
+        if h_text is not None:
+            h_text = repeat_windows(h_text, W)
+        if h_img is not None:
+            h_img = repeat_windows(h_img, W)
         h_dummy = repeat_windows(h_dummy, W)
 
         # ----- Fusion --------------------------------------------------------

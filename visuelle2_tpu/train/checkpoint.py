@@ -78,19 +78,24 @@ class CheckpointManager:
             step=restored["step"],
         )
 
-    def restore_params(self, params_template, step: Optional[int] = None,
-                       batch_stats_template=None):
-        """Params-only restore for inference (forecast CLI)."""
+    def restore_for_eval(self, state, step: Optional[int] = None):
+        """Restore params + batch_stats only (inference / forecast CLIs).
+
+        A full ``restore`` needs the template's opt_state structure to match
+        the one saved at train time (e.g. the transformer family's grad-clip
+        chain); at forecast time the optimizer config isn't known, so we do a
+        partial restore that omits opt_state/step entirely."""
         step = step if step is not None else self.best_step()
-        template = {"params": params_template,
-                    "batch_stats": batch_stats_template or {}}
-        # Partial restore: read the full tree, take what we need.
+        template = {"params": state.params}
+        if state.batch_stats:
+            template["batch_stats"] = dict(state.batch_stats)
         restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore({
-                "params": params_template,
-                "batch_stats": batch_stats_template or {},
-                "opt_state": None, "step": None}))
-        return restored["params"], restored["batch_stats"]
+            step, args=ocp.args.PyTreeRestore(template, partial_restore=True))
+        return state.replace(
+            params=restored["params"],
+            batch_stats=type(state.batch_stats)(restored["batch_stats"])
+            if state.batch_stats else state.batch_stats,
+        )
 
     def close(self):
         self._mgr.close()
