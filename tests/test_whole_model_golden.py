@@ -1,0 +1,436 @@
+"""Whole-model forward goldens vs torch (VERDICT r1 item 2).
+
+Composes entire reference models in raw torch at tiny dims — the reference
+*math* (``/root/reference/models/CrossAttnRNN21.py:121-211``,
+``Proposed_model_v4.py:245-289``), built from torch primitives, not reference
+imports — converts the weights into our flax trees, and asserts the
+end-to-end eval-mode forecasts match.  Module-level goldens can't catch
+wiring bugs (what feeds the decoder, residual/dropout placement, token
+order); with no VISUELLE2 data in the container this is the strongest
+available proxy for WAPE/MAE parity.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.torch_ref import (
+    decoder_layer_params,
+    encoder_layer_params,
+    gru_params,
+    linear_params,
+    mha_params,
+    t2n,
+)
+from visuelle2_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+from visuelle2_tpu.models import VocabSizes, build
+
+E = 16  # embedding = attention = hidden: the reference ties them by default
+VOCAB = VocabSizes(5, 6, 5, 126)
+
+
+def _tiny_resnet():
+    """torchvision-layout Bottleneck ResNet, blocks (1,1,1,1) — the torch
+    counterpart of ResNetBackbone('tiny') (see test_resnet_conversion)."""
+
+    class Bottleneck(torch.nn.Module):
+        def __init__(self, cin, width, stride):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(width)
+            self.conv2 = torch.nn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(width)
+            self.conv3 = torch.nn.Conv2d(width, width * 4, 1, bias=False)
+            self.bn3 = torch.nn.BatchNorm2d(width * 4)
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, width * 4, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(width * 4))
+
+        def forward(self, x):
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = torch.relu(self.bn2(self.conv2(out)))
+            return torch.relu(self.bn3(self.conv3(out)) + self.downsample(x))
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(64)
+            self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+            cin = 64
+            for i, w in enumerate((64, 128, 256, 512)):
+                setattr(self, f"layer{i + 1}",
+                        torch.nn.Sequential(Bottleneck(cin, w, 2 if i else 1)))
+                cin = w * 4
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            for i in range(4):
+                x = getattr(self, f"layer{i + 1}")(x)
+            return x
+
+    net = Net()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+    return net
+
+
+def _backbone_variables(net):
+    from visuelle2_tpu.models.resnet import params_from_torch
+
+    return params_from_torch(net.state_dict(), arch="tiny")
+
+
+def _embedding_params(emb):
+    return {"embedding": t2n(emb.weight)}
+
+
+def _additive_params(enc_lin, dec_lin, attn_lin):
+    return {"encoder_linear": {"kernel": t2n(enc_lin.weight).T},
+            "decoder_linear": {"kernel": t2n(dec_lin.weight).T},
+            "attn_linear": linear_params(attn_lin)}
+
+
+def _normalized_images(images_u8):
+    """The exact transform our models fuse on device (images.py:31-43) as
+    the torch-side input (the reference normalizes in the dataset)."""
+    x = images_u8.astype(np.float32) / 255.0
+    x = (x - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+        IMAGENET_STD, np.float32)
+    return torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+
+
+def _batch(n=4, demand=False, windows=10, horizon=1, seed=3):
+    rng = np.random.default_rng(seed)
+    b = {
+        "cat": rng.integers(0, 5, n).astype(np.int32),
+        "col": rng.integers(0, 6, n).astype(np.int32),
+        "fab": rng.integers(0, 5, n).astype(np.int32),
+        "store": rng.integers(0, 126, n).astype(np.int32),
+        "temporal": rng.random((n, 4)).astype(np.float32),
+        "gtrends": rng.random((n, 3, 52)).astype(np.float32),
+        "images": rng.integers(0, 255, (n, 32, 32, 3)).astype(np.uint8),
+    }
+    if demand:
+        b["ts"] = rng.random((n, 12)).astype(np.float32)
+    else:
+        b["X"] = rng.random((n, windows, 2)).astype(np.float32)
+        b["y"] = rng.random((n, windows, horizon)).astype(np.float32)
+    return b
+
+
+def _additive(enc_lin, dec_lin, attn_lin, enc_out, hidden):
+    """Reference AdditiveAttention math (CrossAttnRNN21.py:74-89):
+    alpha-weighted *raw* encoder output."""
+    h_j = enc_lin(enc_out)
+    s_i = dec_lin(hidden)
+    energy = attn_lin(torch.tanh(h_j + s_i.unsqueeze(1))).squeeze(2)
+    alpha = torch.softmax(energy, dim=1)
+    return alpha.unsqueeze(2) * enc_out, alpha
+
+
+def test_cross_attn_rnn_21_whole_model_matches_torch():
+    torch.manual_seed(7)
+    n, W = 4, 10
+    batch = _batch(n=n, windows=W)
+
+    # ---- torch side: the reference model composed from torch primitives.
+    cnn = _tiny_resnet().eval()
+    img_fc = torch.nn.Linear(2048, E)
+    trend_gru = torch.nn.GRU(3, E, batch_first=True)
+    temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1)
+    adds = {k: (torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, 1)) for k in ("img", "ts", "mm")}
+    trend_linear = torch.nn.Linear(52 * E, E)
+    mm_embedder = torch.nn.Linear(E, E)
+    decoder_fc = torch.nn.Linear(E, 1)
+
+    with torch.no_grad():
+        # CrossAttnRNN21.py:137-209, eval mode (dropout = identity).
+        X = torch.tensor(batch["X"]).reshape(n * W, 2, 1)
+        feats = cnn(_normalized_images(batch["images"]))  # [n, 2048, 1, 1]
+        img_enc = img_fc(feats.flatten(2).permute(0, 2, 1))       # [n, 1, E]
+        trend_enc = trend_gru(
+            torch.tensor(batch["gtrends"]).permute(0, 2, 1))[0]   # [n, 52, E]
+        dummy = sum(l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                    for i, l in enumerate(temp_lins))
+        attr = sum(e(torch.tensor(batch[k].astype(np.int64)))
+                   for e, k in zip(embs, ("cat", "col", "fab", "store")))
+        rep = lambda t: t.repeat_interleave(W, dim=0)
+        img_enc, trend_enc = rep(img_enc), rep(trend_enc)
+        dummy, attr = rep(dummy), rep(attr)
+        trend_enc = self_attn(*([trend_enc.permute(1, 0, 2)] * 3))[0]
+        _, hidden = sales_gru(X)
+        hidden = hidden.squeeze(0)                                # [nW, E]
+        att_img, _ = _additive(*adds["img"], img_enc, hidden)
+        att_img = att_img.sum(1)
+        att_tr, _ = _additive(*adds["ts"], trend_enc.permute(1, 0, 2), hidden)
+        att_tr = trend_linear(att_tr.reshape(n * W, -1))
+        mm_in = torch.stack([dummy, att_img, attr, att_tr], dim=1)
+        att_mm, _ = _additive(*adds["mm"], mm_in, hidden)
+        ctx = mm_embedder((mm_in + att_mm).sum(1))
+        t_pred = decoder_fc(ctx).reshape(n, W, 1).numpy()
+
+    # ---- our side with converted weights.
+    rn = _backbone_variables(cnn)
+    temp_names = ("day", "week", "month", "year")
+    variables = {
+        "params": {
+            "static": {
+                "image_encoder": {"backbone": rn["params"],
+                                  "fc": linear_params(img_fc)},
+                "trend_encoder": {"gru": gru_params(trend_gru)},
+                "temp_encoder": {nm: linear_params(l)
+                                 for nm, l in zip(temp_names, temp_lins)},
+                "attribute_encoder": {
+                    nm: _embedding_params(e)
+                    for nm, e in zip(("cat", "col", "fab", "store"), embs)},
+            },
+            "ts_self_attention": mha_params(self_attn),
+            "sales_encoder_gru": gru_params(sales_gru),
+            "fusion": {
+                "img_attention": _additive_params(*adds["img"]),
+                "ts_attention": _additive_params(*adds["ts"]),
+                "multimodal_attention": _additive_params(*adds["mm"]),
+                "trend_linear": linear_params(trend_linear),
+                "multimodal_embedder": linear_params(mm_embedder),
+            },
+            "decoder_fc": linear_params(decoder_fc),
+        },
+        "batch_stats": {"static": {"image_encoder": {
+            "backbone": rn["batch_stats"]}}},
+    }
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    model = build("cross_attn_rnn_21", vocab=VOCAB, out_len=1,
+                  attention_dim=E, embedding_dim=E, hidden_dim=E,
+                  image_arch="tiny")
+    pred, _ = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
+
+
+def _additive_proj(enc_lin, dec_lin, attn_lin, enc_out, hidden):
+    """Demand's AdditiveAttention variant: alpha-weighted *projected* h_j
+    (CrossAttnRNNDemand.py:125-147)."""
+    h_j = enc_lin(enc_out)
+    s_i = dec_lin(hidden)
+    energy = attn_lin(torch.tanh(h_j + s_i.unsqueeze(1))).squeeze(2)
+    alpha = torch.softmax(energy, dim=1)
+    return alpha.unsqueeze(2) * h_j, alpha
+
+
+def test_cross_attn_rnn_demand_whole_model_matches_torch():
+    """The 12-step zero-init decode loop (CrossAttnRNNDemand.py:247-349)
+    under lax.scan must match the reference's Python loop step for step —
+    including the shared-day-embedding temporal quirk (:55-65) and the
+    projected-h_j attention flavour."""
+    torch.manual_seed(5)
+    n, T = 4, 12
+    batch = _batch(n=n, demand=True)
+
+    cnn = _tiny_resnet().eval()
+    img_fc = torch.nn.Linear(2048, E)
+    trend_gru = torch.nn.GRU(3, E, batch_first=True)
+    day_lin = torch.nn.Linear(1, E)  # applied to ALL four features (:60-64)
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1)
+    adds = {k: (torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, 1)) for k in ("img", "ts", "mm")}
+    trend_linear = torch.nn.Linear(52 * E, E)
+    mm_embedder = torch.nn.Linear(E, E)
+    dec_gru = torch.nn.GRU(E + 1, E, batch_first=True)
+    decoder_fc = torch.nn.Linear(E, 1)
+
+    with torch.no_grad():
+        feats = cnn(_normalized_images(batch["images"]))
+        img_enc = img_fc(feats.flatten(2).permute(0, 2, 1))
+        trend_enc = trend_gru(
+            torch.tensor(batch["gtrends"]).permute(0, 2, 1))[0]
+        dummy = sum(day_lin(torch.tensor(batch["temporal"][:, i:i + 1]))
+                    for i in range(4))
+        attr = sum(e(torch.tensor(batch[k].astype(np.int64)))
+                   for e, k in zip(embs, ("cat", "col", "fab", "store")))
+        trend_sa = self_attn(*([trend_enc.permute(1, 0, 2)] * 3))[0]
+        trend_sa = trend_sa.permute(1, 0, 2)
+
+        hidden = torch.zeros(n, E)
+        dec_out = torch.zeros(n, 1, 1)
+        outs = []
+        for _t in range(T):
+            a_img, _ = _additive_proj(*adds["img"], img_enc, hidden)
+            a_img = a_img.sum(1)
+            a_tr, _ = _additive_proj(*adds["ts"], trend_sa, hidden)
+            a_tr = trend_linear(a_tr.reshape(n, -1))
+            mm_in = torch.stack([dummy, a_img, attr, a_tr], dim=1)
+            a_mm, _ = _additive_proj(*adds["mm"], mm_in, hidden)
+            ctx = mm_embedder((mm_in + a_mm).sum(1))
+            x = torch.cat([ctx.unsqueeze(1), dec_out], dim=2)
+            out, h = dec_gru(x, hidden.unsqueeze(0))
+            hidden = h.squeeze(0)
+            dec_out = decoder_fc(out)
+            outs.append(dec_out[:, 0, :])
+        t_pred = torch.stack(outs, dim=1).numpy()  # [n, 12, 1]
+
+    rn = _backbone_variables(cnn)
+    variables = {
+        "params": {
+            "static": {
+                "image_encoder": {"backbone": rn["params"],
+                                  "fc": linear_params(img_fc)},
+                "trend_encoder": {"gru": gru_params(trend_gru)},
+                "temp_encoder": {"day": linear_params(day_lin)},
+                "attribute_encoder": {
+                    nm: _embedding_params(e)
+                    for nm, e in zip(("cat", "col", "fab", "store"), embs)},
+            },
+            "ts_self_attention": mha_params(self_attn),
+            "decoder": {
+                "fusion": {
+                    "img_attention": _additive_params(*adds["img"]),
+                    "ts_attention": _additive_params(*adds["ts"]),
+                    "multimodal_attention": _additive_params(*adds["mm"]),
+                    "trend_linear": linear_params(trend_linear),
+                    "multimodal_embedder": linear_params(mm_embedder),
+                },
+                "decoder_cell": gru_params(dec_gru),
+                "decoder_fc": linear_params(decoder_fc),
+            },
+        },
+        "batch_stats": {"static": {"image_encoder": {
+            "backbone": rn["batch_stats"]}}},
+    }
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    model = build("cross_attn_rnn_demand", vocab=VOCAB, out_len=12,
+                  attention_dim=E, embedding_dim=E, hidden_dim=E,
+                  image_arch="tiny", faithful_temporal_bug=True)
+    pred, _ = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
+
+
+def test_gated_v4_whole_model_matches_torch():
+    torch.manual_seed(11)
+    n = 4
+    batch = _batch(n=n, demand=True)
+
+    # ---- torch side (Proposed_model_v4.py:245-289, eval mode).
+    cnn = _tiny_resnet().eval()
+    projection = torch.nn.Conv2d(2048, E, 1)
+    input_linear = torch.nn.Linear(3, E)
+    enc_layers = [torch.nn.TransformerEncoderLayer(E, 4, dropout=0.2)
+                  for _ in range(2)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    dummy_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    dummy_fusion = torch.nn.Linear(4 * E, E)
+    img_gate = torch.nn.Linear(5 * E, E)
+    dummy_gate = torch.nn.Linear(5 * E, E)
+    fusion_fc = torch.nn.Linear(6 * E, E)
+    fusion_norm = torch.nn.LayerNorm(E)
+    dec_layer = torch.nn.TransformerDecoderLayer(E, 4, dim_feedforward=4 * E,
+                                                 dropout=0.1)
+    decoder_fc = torch.nn.Linear(E, 12)
+    for m in (dec_layer, *enc_layers):
+        m.eval()
+
+    # Sinusoidal positions (Proposed_model_v4.py:13-27), eval (no dropout).
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+
+    with torch.no_grad():
+        # GTrendEmbedder (:49-86): linear -> +pos (seq-first) -> 2 encoder
+        # layers with the gcd block mask (gcd(52, 12) = 4).
+        g = input_linear(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+        g = g.permute(1, 0, 2) + pos[:, None, :]
+        mask = torch.full((52, 52), float("-inf"))
+        for i in range(0, 52, 4):
+            mask[i:i + 4, i:i + 4] = 0.0
+        memory = g
+        for layer in enc_layers:
+            memory = layer(memory, src_mask=mask)
+
+        h_text = torch.stack([e(torch.tensor(batch[k].astype(np.int64)))
+                              for e, k in zip(embs, ("cat", "col", "fab",
+                                                     "store"))], dim=1)
+        feats = cnn(_normalized_images(batch["images"]))
+        h_img = projection(feats).mean(dim=(2, 3))
+        d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                       for i, l in enumerate(dummy_lins)], dim=1)
+        h_dummy = dummy_fusion(d)
+
+        # Demand: item_sales = zeros(bs, 1, 2) (training_step :302).
+        h_sales = sales_gru(torch.zeros(n, 2, 1))[0][:, -1, :]
+
+        text_flat = h_text.reshape(n, -1)
+        gi = torch.sigmoid(img_gate(torch.cat([text_flat, h_img], 1)))
+        gd = torch.sigmoid(dummy_gate(torch.cat([text_flat, h_dummy], 1)))
+        fused = torch.cat([h_img + h_img * gi, text_flat,
+                           h_dummy + h_dummy * gd], 1)
+        static_ctx = torch.relu(fusion_norm(fusion_fc(fused)))
+
+        tgt = (h_sales + static_ctx).unsqueeze(0)      # [1, n, E]
+        out = dec_layer(tgt, memory)
+        t_pred = decoder_fc(out).transpose(0, 1).reshape(n, 12).numpy()
+
+    # ---- our side with converted weights.
+    rn = _backbone_variables(cnn)
+    variables = {
+        "params": {
+            "gtrend_encoder": {
+                "input_linear": linear_params(input_linear),
+                "encoder": {f"layer{i}": encoder_layer_params(l)
+                            for i, l in enumerate(enc_layers)},
+            },
+            "text_encoder": {nm: _embedding_params(e)
+                             for nm, e in zip(("cat", "col", "fab", "store"),
+                                              embs)},
+            "image_encoder": {
+                "backbone": rn["params"],
+                "projection": {
+                    "kernel": np.transpose(t2n(projection.weight), (2, 3, 1, 0)),
+                    "bias": t2n(projection.bias)},
+            },
+            "dummy_encoder": dict(
+                {nm: linear_params(l)
+                 for nm, l in zip(("day", "week", "month", "year"),
+                                  dummy_lins)},
+                fusion=linear_params(dummy_fusion)),
+            "sales_encoder": {"gru": gru_params(sales_gru)},
+            "fusion": {
+                "img_gate_fc": linear_params(img_gate),
+                "dummy_gate_fc": linear_params(dummy_gate),
+                "fusion_fc": linear_params(fusion_fc),
+                "fusion_norm": {"scale": t2n(fusion_norm.weight),
+                                "bias": t2n(fusion_norm.bias)},
+            },
+            "decoder": {"layer0": decoder_layer_params(dec_layer)},
+            "decoder_fc": linear_params(decoder_fc),
+        },
+        "batch_stats": {"image_encoder": {"backbone": rn["batch_stats"]}},
+    }
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    model = build("gated_v4", vocab=VOCAB, output_len=12,
+                  embedding_dim=E, hidden_dim=E, image_arch="tiny")
+    pred, _ = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)

@@ -120,10 +120,15 @@ class TemporalFeatureEncoder(nn.Module):
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         names = ["day", "week", "month", "year"]
         out = 0.0
-        for i, nm in enumerate(names):
-            layer_name = "day" if self.shared_day_embedding else nm
-            e = nn.Dense(self.embedding_dim, name=layer_name)(temporal[:, i: i + 1])
-            out = out + drop(e)
+        if self.shared_day_embedding:
+            # One module instance applied to all four features — constructing
+            # four same-named Dense modules is a flax NameInUseError.
+            day = nn.Dense(self.embedding_dim, name="day")
+            layers = [day] * 4
+        else:
+            layers = [nn.Dense(self.embedding_dim, name=nm) for nm in names]
+        for i, layer in enumerate(layers):
+            out = out + drop(layer(temporal[:, i: i + 1]))
         return out
 
 
