@@ -110,6 +110,36 @@ def test_tensor_parallel_matches_replicated(synthetic_dataset):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
+    """A resumed run must continue at the saved epoch, not restart at 0 and
+    double-train: 2 epochs + resume-for-2-more == 4 total epochs of steps,
+    and the resumed fit loops exactly twice."""
+    from visuelle2_tpu.train.checkpoint import CheckpointManager
+
+    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
+    model = build("gtm", vocab=VOCAB, output_len=12, **SMALL_GTM)
+
+    t1 = Trainer(model, TrainConfig(epochs=2, batch_size=16, learning_rate=1e-2))
+    ckpt = CheckpointManager(str(tmp_path / "ck"), save_top_k=4)
+    s1 = t1.fit(train_loader, val_loader, checkpointer=ckpt)
+    steps_per_epoch = len(train_loader)
+    assert int(s1.step) == 2 * steps_per_epoch
+    assert ckpt.latest_step() == 1
+    ckpt.close()
+
+    t2 = Trainer(model, TrainConfig(epochs=4, batch_size=16, learning_rate=1e-2))
+    fresh = t2.init_state(next(iter(train_loader)))
+    src = CheckpointManager(str(tmp_path / "ck"))
+    resume_epoch = src.latest_step()
+    restored = src.restore(fresh, step=resume_epoch)
+    src.close()
+    s2 = t2.fit(train_loader, val_loader, state=restored,
+                start_epoch=resume_epoch + 1)
+    assert len(t2.history) == 2, [h["epoch"] for h in t2.history]
+    assert [h["epoch"] for h in t2.history] == [2, 3]
+    assert int(s2.step) == 4 * steps_per_epoch
+
+
 def test_checkpoint_save_restore(synthetic_dataset, tmp_path):
     from visuelle2_tpu.train.checkpoint import CheckpointManager
 

@@ -54,18 +54,24 @@ def run(args):
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
     state = None
+    start_epoch = 0
     if args.resume_from:
         # Mid-training resume (the reference never wires ckpt_path into fit;
-        # we support it — SURVEY.md §5 checkpoint/resume).
+        # we support it — SURVEY.md §5 checkpoint/resume).  Restore the
+        # LATEST epoch and carry its index into fit so the run trains only
+        # the remaining epochs.
         state = trainer.init_state(next(iter(loaders["train"])))
         src = CheckpointManager(args.resume_from)
-        state = src.restore(state)
+        resume_epoch = src.latest_step()
+        state = src.restore(state, step=resume_epoch)
         src.close()
-        print(f"resumed from {args.resume_from} @ step {int(state.step)}")
+        start_epoch = (resume_epoch or 0) + 1
+        print(f"resumed from {args.resume_from} @ epoch {resume_epoch} "
+              f"(step {int(state.step)})")
 
     t0 = time.time()
     trainer.fit(loaders["train"], loaders["test"], state=state,
-                checkpointer=ckpt, log_fn=log)
+                checkpointer=ckpt, log_fn=log, start_epoch=start_epoch)
     elapsed = time.time() - t0
     print(f"[Training Completed] Time: {elapsed/60:.2f} minutes ({elapsed:.2f} seconds)")
     print(ckpt.best_model_path)

@@ -58,16 +58,20 @@ def run(args):
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
     state = None
+    start_epoch = 0
     if args.resume_from:
         state = trainer.init_state(next(iter(loaders["train"])))
         src = CheckpointManager(args.resume_from)
-        state = src.restore(state)
+        resume_epoch = src.latest_step()
+        state = src.restore(state, step=resume_epoch)
         src.close()
-        print(f"resumed from {args.resume_from} @ step {int(state.step)}")
+        start_epoch = (resume_epoch or 0) + 1
+        print(f"resumed from {args.resume_from} @ epoch {resume_epoch} "
+              f"(step {int(state.step)})")
 
     t0 = time.time()
     trainer.fit(loaders["train"], loaders["test"], state=state,
-                checkpointer=ckpt, log_fn=log)
+                checkpointer=ckpt, log_fn=log, start_epoch=start_epoch)
     print(f"[Training Completed] Time: {(time.time() - t0)/60:.2f} minutes")
     print(f"Best Model Path: {ckpt.best_model_path}")
     return ckpt.best_model_path

@@ -112,11 +112,37 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
         if total is not None and np.isfinite(total):
             gflops = total / bs / 1e9
         if measure_throughput:
-            jax.block_until_ready(eval_step(variables, b0))
+            # Relay-safe methodology (CLAUDE.md "Benchmark integrity", same
+            # as bench.py): identical dispatches are deduped, independent
+            # dispatches overlap, and block_until_ready can return early —
+            # so the measurement is ONE jitted lax.scan over DISTINCT
+            # per-step batches whose carry serializes the steps, with the
+            # host fetch (np.asarray) as the completion barrier.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def _stack(offset):
+                sel = [jax.tree_util.tree_map(
+                    lambda x, i=i: jnp.roll(x, offset + i, axis=0),
+                    batches[(offset + i) % len(batches)])
+                    for i in range(timing_iters)]
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *sel)
+                return jax.device_put(
+                    stacked, NamedSharding(mesh, P(None, "data")))
+
+            @jax.jit
+            def scan_eval(variables, stacked):
+                def body(carry, b):
+                    forecast, _ = model.apply(variables, b, train=False)
+                    return carry + jnp.sum(forecast), ()
+
+                tot, _ = jax.lax.scan(body, jnp.zeros(()), stacked)
+                return tot
+
+            warm, timed = _stack(0), _stack(1)
+            np.asarray(scan_eval(variables, warm))  # compile + warmup
             t0 = time.perf_counter()
-            for _ in range(timing_iters):
-                out = eval_step(variables, b0)
-            jax.block_until_ready(out)
+            np.asarray(scan_eval(variables, timed))
             dt = (time.perf_counter() - t0) / timing_iters
             fps = bs / dt
             fps_chip = fps / n_chips

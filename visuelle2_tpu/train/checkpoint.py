@@ -55,6 +55,11 @@ class CheckpointManager:
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
+    def latest_step(self) -> Optional[int]:
+        """Most recent saved epoch — what mid-training resume should restore
+        (best_step would silently rewind to an earlier epoch)."""
+        return self._mgr.latest_step()
+
     @property
     def best_model_path(self) -> Optional[str]:
         step = self.best_step()

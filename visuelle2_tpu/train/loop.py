@@ -229,12 +229,17 @@ class Trainer:
 
     def fit(self, train_loader: BatchLoader, val_loader: BatchLoader,
             state: Optional[TrainState] = None, checkpointer=None,
-            log_fn: Callable[[Dict], None] = None) -> TrainState:
+            log_fn: Callable[[Dict], None] = None,
+            start_epoch: int = 0) -> TrainState:
+        """``start_epoch`` carries a resumed run's position so it trains only
+        the remaining epochs (a resume that restarts at 0 double-trains).
+        The per-step rng stream continues correctly either way: train_step
+        folds the restored global ``state.step`` into the seed."""
         if state is None:
             state = self.init_state(next(iter(train_loader)))
         rng = jax.random.key(self.config.seed + 1000)
         t0 = time.time()
-        for epoch in range(self.config.epochs):
+        for epoch in range(start_epoch, self.config.epochs):
             losses = []
             for batch in train_loader:
                 state, m = self.train_step(state, batch, rng)
