@@ -107,3 +107,61 @@ def test_tg_fusion_pallas_path_matches_xla(rng):
         got = TextGuidedFusionNetwork(16, 16, use_pallas=True).apply(
             variables, img, text, dummy)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["pure", "head"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_gated_mha_parity(rng, variant, masked):
+    """The fused gated-MHA kernel (SURVEY §2.4 item 2) reproduces the XLA
+    gated modules exactly, with and without the gcd block mask."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from visuelle2_tpu.ops.attention import (HeadSpecificGatedAttention,
+                                             PureGatedMultiHeadAttention)
+    from visuelle2_tpu.ops.masks import gcd_block_mask
+
+    cls = (PureGatedMultiHeadAttention if variant == "pure"
+           else HeadSpecificGatedAttention)
+    B, L, D = 11, 52, 32
+    q = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    kv = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    mask = gcd_block_mask(L, 12) if masked else None
+
+    ref = cls(D, 4, dropout=0.1)
+    variables = ref.init(jax.random.key(0), q, kv, kv, mask=mask)
+    want = ref.apply(variables, q, kv, kv, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = cls(D, 4, dropout=0.1, use_pallas=True).apply(
+            variables, q, kv, kv, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_gated_v2_model_pallas_path_matches_xla(rng):
+    """Whole gated_v2 forward (gated trend encoder + PureGated decoder
+    cross-attn) with use_pallas=True matches the XLA path end to end."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from visuelle2_tpu.models import VocabSizes, build
+
+    b = {
+        "ts": rng.random((6, 12)).astype(np.float32),
+        "cat": rng.integers(0, 5, 6).astype(np.int32),
+        "col": rng.integers(0, 6, 6).astype(np.int32),
+        "fab": rng.integers(0, 5, 6).astype(np.int32),
+        "store": rng.integers(0, 126, 6).astype(np.int32),
+        "temporal": rng.random((6, 4)).astype(np.float32),
+        "gtrends": rng.random((6, 3, 52)).astype(np.float32),
+        "images": rng.integers(0, 255, (6, 32, 32, 3)).astype(np.uint8),
+    }
+    kw = dict(vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+              embedding_dim=16, hidden_dim=16, image_arch="tiny")
+    ref = build("gated_v2", **kw)
+    variables = ref.init({"params": jax.random.key(0),
+                          "dropout": jax.random.key(1)}, b, train=False)
+    want, _ = ref.apply(variables, b, train=False)
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = build("gated_v2", use_pallas=True, **kw).apply(
+            variables, b, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)

@@ -224,6 +224,7 @@ class GTrendEmbedder(nn.Module):
     nhead: int = 4
     dropout: float = 0.2
     gated: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, gtrends, *, deterministic=True):
@@ -237,4 +238,5 @@ class GTrendEmbedder(nn.Module):
         return TransformerEncoder(
             self.embedding_dim, self.nhead, self.num_layers,
             dim_feedforward=2048, dropout=self.dropout, gated=self.gated,
+            use_pallas=self.use_pallas,
             name="encoder")(x, mask=mask, deterministic=deterministic)

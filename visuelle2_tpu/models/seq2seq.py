@@ -122,6 +122,7 @@ class Seq2SeqForecaster(nn.Module):
             trend_len=self.trend_len, use_mask=self.use_encoder_mask,
             num_layers=2, nhead=self.num_heads if cfg.trend_encoder_gated else 4,
             dropout=0.2, gated=cfg.trend_encoder_gated,
+            use_pallas=self.use_pallas,
             name="gtrend_encoder")(batch["gtrends"], deterministic=det)
         memory = repeat_windows(memory, W)
 
@@ -192,7 +193,8 @@ class Seq2SeqForecaster(nn.Module):
         # ----- Decode ---------------------------------------------------------
         decoder = TransformerDecoder(
             H, self.num_heads, self.num_layers, dim_feedforward=H * 4,
-            dropout=0.1, variant=cfg.decoder, name="decoder")
+            dropout=0.1, variant=cfg.decoder, use_pallas=self.use_pallas,
+            name="decoder")
         if self.autoregressive:
             tgt = jnp.zeros((N, self.output_len, H), decoder_input.dtype)
             tgt = tgt.at[:, 0, :].set(decoder_input)

@@ -33,11 +33,13 @@ class _Weights(nn.Module):
 
     shape: tuple
     use_bias: bool = False
+    bias_init: float = 0.0
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
-        b = (self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        b = (self.param("bias", nn.initializers.constant(self.bias_init),
+                        (self.shape[-1],))
              if self.use_bias else None)
         return k, b
 
@@ -128,60 +130,79 @@ class MultiHeadAttention(nn.Module):
         return out, probs.mean(axis=1)
 
 
-class PureGatedMultiHeadAttention(nn.Module):
-    """v2 cross-attention: concatenated head output gated by σ(W_g·query)
-    *before* the out projection; gate bias init +2.0 (≈88% open)
-    (``Proposed_model_v2.py:546-602``)."""
+class _GatedMHABase(nn.Module):
+    """Shared implementation of the two v2 gated-MHA variants.
+
+    Parameters live in ``_Weights`` children named exactly like ``nn.Dense``
+    submodules ({kernel, bias}), so the XLA math path and the fused Pallas
+    kernel (``ops/pallas/gated_mha.py``) see the identical tree.  The Pallas
+    path engages when ``use_pallas`` and the call is deterministic (the
+    kernel has no prob-dropout epilogue); train mode falls back to XLA.
+    """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.1
     gate_bias_init: float = 2.0
-
-    @nn.compact
-    def __call__(self, query, key, value, *, mask=None, deterministic=True):
-        D, h = self.embed_dim, self.num_heads
-        q = nn.Dense(D, name="q_proj")(query)
-        k = nn.Dense(D, name="k_proj")(key)
-        v = nn.Dense(D, name="v_proj")(value)
-        qh, kh, vh = (_split_heads(t, h) for t in (q, k, v))
-        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
-        out, _ = _dot_attention(
-            qh, kh, vh, scale=(D // h) ** -0.5, mask=mask,
-            dropout_rate=self.dropout, deterministic=deterministic, dropout_rng=rng)
-        attn_output = _merge_heads(out)
-        gate = jax.nn.sigmoid(nn.Dense(
-            D, name="gate_proj",
-            bias_init=nn.initializers.constant(self.gate_bias_init))(query))
-        return nn.Dense(D, name="out_proj")(attn_output * gate)
-
-
-class HeadSpecificGatedAttention(nn.Module):
-    """v2 encoder self-attention: per-head gate σ(W_g·q_head) on head_dim,
-    gate bias init +2.0 (``Proposed_model_v2.py:643-690``)."""
-
-    embed_dim: int
-    num_heads: int
-    dropout: float = 0.1
-    gate_bias_init: float = 2.0
+    use_pallas: bool = False
+    variant: str = "pure"  # "pure" | "head"
 
     @nn.compact
     def __call__(self, query, key, value, *, mask=None, deterministic=True):
         D, h = self.embed_dim, self.num_heads
         d = D // h
-        q = nn.Dense(D, name="q_proj")(query)
-        k = nn.Dense(D, name="k_proj")(key)
-        v = nn.Dense(D, name="v_proj")(value)
+        wq, bq = _Weights((D, D), use_bias=True, name="q_proj")()
+        wk, bk = _Weights((D, D), use_bias=True, name="k_proj")()
+        wv, bv = _Weights((D, D), use_bias=True, name="v_proj")()
+        gate_dim = d if self.variant == "head" else D
+        wg, bg = _Weights((gate_dim, gate_dim), use_bias=True,
+                          bias_init=self.gate_bias_init, name="gate_proj")()
+        wo, bo = _Weights((D, D), use_bias=True, name="out_proj")()
+
+        if self.use_pallas and (deterministic or self.dropout == 0.0):
+            from visuelle2_tpu.ops.pallas.gated_mha import fused_gated_mha
+
+            m = (jnp.zeros((query.shape[1], key.shape[1]), jnp.float32)
+                 if mask is None else
+                 jnp.broadcast_to(mask, (query.shape[1], key.shape[1]))
+                 .astype(jnp.float32))
+            return fused_gated_mha(
+                query, key, value, m, wq, bq, wk, bk, wv, bv, wg, bg, wo, bo,
+                num_heads=h, variant=self.variant)
+
+        q = query @ wq + bq
+        k = key @ wk + bk
+        v = value @ wv + bv
         qh, kh, vh = (_split_heads(t, h) for t in (q, k, v))
-        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
+        rng = (self.make_rng("dropout")
+               if (self.dropout > 0 and not deterministic) else None)
         out, _ = _dot_attention(
             qh, kh, vh, scale=d ** -0.5, mask=mask,
-            dropout_rate=self.dropout, deterministic=deterministic, dropout_rng=rng)
-        # Gate computed from the *projected per-head query* (v2 line 684).
-        gate = jax.nn.sigmoid(nn.Dense(
-            d, name="gate_proj",
-            bias_init=nn.initializers.constant(self.gate_bias_init))(qh))
-        return nn.Dense(D, name="out_proj")(_merge_heads(out * gate))
+            dropout_rate=self.dropout, deterministic=deterministic,
+            dropout_rng=rng)
+        if self.variant == "head":
+            # Gate from the *projected per-head query* (v2 line 684).
+            gate = jax.nn.sigmoid(qh @ wg + bg)
+            merged = _merge_heads(out * gate)
+        else:
+            gate = jax.nn.sigmoid(query @ wg + bg)
+            merged = _merge_heads(out) * gate
+        return merged @ wo + bo
+
+
+class PureGatedMultiHeadAttention(_GatedMHABase):
+    """v2 cross-attention: concatenated head output gated by σ(W_g·query)
+    *before* the out projection; gate bias init +2.0 (≈88% open)
+    (``Proposed_model_v2.py:546-602``)."""
+
+    variant: str = "pure"
+
+
+class HeadSpecificGatedAttention(_GatedMHABase):
+    """v2 encoder self-attention: per-head gate σ(W_g·q_head) on head_dim,
+    gate bias init +2.0 (``Proposed_model_v2.py:643-690``)."""
+
+    variant: str = "head"
 
 
 class GatedCrossAttention(nn.Module):

@@ -88,11 +88,13 @@ class GatedTransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: Optional[int] = None
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, src, *, mask=None, deterministic=True):
         dff = self.dim_feedforward or 2048
         attn = HeadSpecificGatedAttention(self.d_model, self.nhead, self.dropout,
+                                          use_pallas=self.use_pallas,
                                           name="self_attn")(
             src, src, src, mask=mask, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(
@@ -141,6 +143,7 @@ class GatedTransformerDecoderLayerV2(nn.Module):
     nhead: int
     dim_feedforward: Optional[int] = None
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, tgt, memory, *, tgt_mask=None, memory_mask=None,
@@ -152,6 +155,7 @@ class GatedTransformerDecoderLayerV2(nn.Module):
         tgt = nn.LayerNorm(name="norm1")(
             tgt + nn.Dropout(self.dropout, deterministic=deterministic)(sa))
         ca = PureGatedMultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                         use_pallas=self.use_pallas,
                                          name="cross_attn")(
             tgt, memory, memory, mask=memory_mask, deterministic=deterministic)
         tgt = nn.LayerNorm(name="norm2")(tgt + ca)
@@ -170,14 +174,22 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: Optional[int] = None
     dropout: float = 0.1
     gated: bool = False  # v2's gated trend encoder
+    use_pallas: bool = False  # fused gated-MHA kernel (gated layers only)
 
     @nn.compact
     def __call__(self, src, *, mask=None, deterministic=True):
-        layer_cls = GatedTransformerEncoderLayer if self.gated else TransformerEncoderLayer
         for i in range(self.num_layers):
-            src = layer_cls(self.d_model, self.nhead, self.dim_feedforward,
-                            self.dropout, name=f"layer{i}")(
-                src, mask=mask, deterministic=deterministic)
+            if self.gated:
+                src = GatedTransformerEncoderLayer(
+                    self.d_model, self.nhead, self.dim_feedforward,
+                    self.dropout, use_pallas=self.use_pallas,
+                    name=f"layer{i}")(src, mask=mask,
+                                      deterministic=deterministic)
+            else:
+                src = TransformerEncoderLayer(
+                    self.d_model, self.nhead, self.dim_feedforward,
+                    self.dropout, name=f"layer{i}")(
+                    src, mask=mask, deterministic=deterministic)
         return src
 
 
@@ -190,16 +202,24 @@ class TransformerDecoder(nn.Module):
     dim_feedforward: Optional[int] = None
     dropout: float = 0.1
     variant: str = "standard"  # "standard" | "gated_v1" | "gated_v2"
+    use_pallas: bool = False  # fused gated-MHA kernel (gated_v2 only)
 
     @nn.compact
     def __call__(self, tgt, memory, *, tgt_mask=None, memory_mask=None,
                  deterministic=True):
-        layer_cls = {
-            "standard": TransformerDecoderLayer,
-            "gated_v1": GatedTransformerDecoderLayerV1,
-            "gated_v2": GatedTransformerDecoderLayerV2,
-        }[self.variant]
         for i in range(self.num_layers):
+            if self.variant == "gated_v2":
+                tgt = GatedTransformerDecoderLayerV2(
+                    self.d_model, self.nhead, self.dim_feedforward,
+                    self.dropout, use_pallas=self.use_pallas,
+                    name=f"layer{i}")(
+                    tgt, memory, tgt_mask=tgt_mask, memory_mask=memory_mask,
+                    deterministic=deterministic)
+                continue
+            layer_cls = {
+                "standard": TransformerDecoderLayer,
+                "gated_v1": GatedTransformerDecoderLayerV1,
+            }[self.variant]
             tgt = layer_cls(self.d_model, self.nhead, self.dim_feedforward,
                             self.dropout, name=f"layer{i}")(
                 tgt, memory, tgt_mask=tgt_mask, memory_mask=memory_mask,
