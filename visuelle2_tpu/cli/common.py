@@ -33,6 +33,11 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--image_size", type=int, default=299)
     p.add_argument("--bf16_backbone", action="store_true",
                    help="run the image backbone in bfloat16 (TPU MXU)")
+    p.add_argument("--pretrained_backbone", type=str, default="",
+                   help=".npz from scripts/convert_pretrained.py; spliced "
+                        "into every image encoder's backbone after init "
+                        "(the reference finetunes torchvision-pretrained "
+                        "CNNs, CrossAttnRNN21.py:61)")
     p.add_argument("--gpu_num", type=int, default=0,
                    help="accepted for reference CLI compatibility "
                         "(train_dl.py:204); device selection is JAX's")
@@ -66,6 +71,34 @@ def build_loaders(args, *, demand: bool, output_len: int,
             shuffle=(split == "train"), seed=args.seed,
             drop_remainder=(split == "train"))
     return loaders, vocab, norm_scalar
+
+
+def apply_pretrained_backbone(state, args):
+    """Splice a converted pretrained backbone (.npz) into a fresh TrainState
+    when ``--pretrained_backbone`` is set; no-op otherwise."""
+    path = getattr(args, "pretrained_backbone", "")
+    if not path:
+        return state
+    from visuelle2_tpu.models.pretrained import load_backbone_npz, splice_backbone
+
+    bb = load_backbone_npz(path)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    spliced = splice_backbone(variables, bb)
+    import jax.numpy as jnp
+    from jax import tree_util
+
+    # Keep the model's param dtypes (e.g. a bf16 backbone) on the new leaves.
+    cast = tree_util.tree_map(lambda old, new: jnp.asarray(new, old.dtype),
+                              state.params, spliced["params"])
+    new_stats = state.batch_stats
+    if state.batch_stats:
+        new_stats = type(state.batch_stats)(tree_util.tree_map(
+            lambda old, new: jnp.asarray(new, old.dtype),
+            dict(state.batch_stats), spliced["batch_stats"]))
+    print(f"loaded pretrained backbone from {path}")
+    return state.replace(params=cast, batch_stats=new_stats)
 
 
 class JsonlLogger:

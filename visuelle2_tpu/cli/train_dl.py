@@ -55,12 +55,18 @@ def run(args):
 
     state = None
     start_epoch = 0
+    if getattr(args, "pretrained_backbone", ""):
+        from visuelle2_tpu.cli.common import apply_pretrained_backbone
+
+        state = trainer.init_state(next(iter(loaders["train"])))
+        state = apply_pretrained_backbone(state, args)
     if args.resume_from:
         # Mid-training resume (the reference never wires ckpt_path into fit;
         # we support it — SURVEY.md §5 checkpoint/resume).  Restore the
         # LATEST epoch and carry its index into fit so the run trains only
         # the remaining epochs.
-        state = trainer.init_state(next(iter(loaders["train"])))
+        if state is None:
+            state = trainer.init_state(next(iter(loaders["train"])))
         src = CheckpointManager(args.resume_from)
         resume_epoch = src.latest_step()
         state = src.restore(state, step=resume_epoch)

@@ -59,8 +59,14 @@ def run(args):
 
     state = None
     start_epoch = 0
-    if args.resume_from:
+    if getattr(args, "pretrained_backbone", ""):
+        from visuelle2_tpu.cli.common import apply_pretrained_backbone
+
         state = trainer.init_state(next(iter(loaders["train"])))
+        state = apply_pretrained_backbone(state, args)
+    if args.resume_from:
+        if state is None:
+            state = trainer.init_state(next(iter(loaders["train"])))
         src = CheckpointManager(args.resume_from)
         resume_epoch = src.latest_step()
         state = src.restore(state, step=resume_epoch)

@@ -170,6 +170,11 @@ def extract_gtrends(sales_df: pd.DataFrame, gtrends: pd.DataFrame,
             if len(series) < trend_len:
                 series = values[:h, c][-52:][:trend_len]
             out[i, t, : len(series)] = series
+    # Degenerate short-history rows keep their zero padding through the
+    # per-row MinMaxScaler, so padded positions scale as real zeros.  The
+    # reference would instead crash on a fully-empty slice
+    # (dataset.py:134-143 fits MinMaxScaler on an empty array); we define
+    # the behavior as all-zeros rather than inheriting the crash.
     return _minmax_rows(out)
 
 
