@@ -63,6 +63,28 @@ def test_train_then_forecast_transformer_cli(synthetic_dataset, tmp_path):
     assert np.isfinite(result.wape) and np.isfinite(result.mae)
 
 
+def test_train_then_forecast_gtm_v1_cli(synthetic_dataset, tmp_path):
+    """gtm_v1 (original VISUELLE-1 GTM) end to end: ingest-time text
+    featurization attaches as a batch extra, trains, and forecasts from the
+    checkpoint."""
+    from visuelle2_tpu.cli import forecast_transformer
+
+    common = ["--dataset_path", synthetic_dataset, "--model", "gtm_v1",
+              "--demand", "1", "--output_len", "12",
+              "--batch_size", "16", "--embedding_dim", "16",
+              "--hidden_dim", "16", "--image_arch", "tiny",
+              "--image_size", "32"]
+    args = train_transformer.build_parser().parse_args(
+        common + ["--epochs", "1", "--ckpt_dir", str(tmp_path / "ckv1")])
+    best = train_transformer.run(args)
+    assert best is not None
+
+    fc_args = forecast_transformer.build_parser().parse_args(
+        common + ["--ckpt_path", str(tmp_path / "ckv1")])
+    result = forecast_transformer.run(fc_args)
+    assert np.isfinite(result.wape) and np.isfinite(result.mae)
+
+
 def test_score_split_one_pass_matches_batched(synthetic_dataset):
     """The single-dispatch scan over the whole split must reproduce the
     per-batch scorer exactly, data-sharded over the 8-device mesh."""

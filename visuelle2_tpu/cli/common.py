@@ -50,11 +50,22 @@ def add_common_args(p: argparse.ArgumentParser):
 
 
 def build_loaders(args, *, demand: bool, output_len: int,
-                  splits=("train", "test")) -> Tuple[dict, VocabSizes, float]:
-    """Returns ({split: BatchLoader}, vocab, norm_scalar)."""
+                  splits=("train", "test"),
+                  text_features: bool = False) -> Tuple[dict, VocabSizes, float]:
+    """Returns ({split: BatchLoader}, vocab, norm_scalar).
+
+    ``text_features=True`` runs the gtm_v1 ingest-time text featurizer
+    (frozen BERT, or the deterministic crc32 fallback under zero egress) over
+    each split and attaches the [N, 768] array as a batch extra."""
     cat_dict, col_dict, fab_dict = load_label_dicts(args.dataset_path)
     vocab = VocabSizes.from_dicts(cat_dict, col_dict, fab_dict)
     norm_scalar = load_norm_scalar(args.dataset_path)
+
+    featurizer = None
+    if text_features:
+        from visuelle2_tpu.models.gtm_v1 import TextFeaturizer
+
+        featurizer = TextFeaturizer(cat_dict, col_dict, fab_dict)
 
     loaders = {}
     for split in splits:
@@ -66,10 +77,14 @@ def build_loaders(args, *, demand: bool, output_len: int,
             os.path.join(args.dataset_path, "images"), arrays.image_paths,
             cache_file=ImageStore.cache_path(args.dataset_path, split),
             size=args.image_size)
+        extras = None
+        if featurizer is not None:
+            extras = {"text_features": featurizer(
+                arrays.cat, arrays.col, arrays.fab).astype(np.float32)}
         loaders[split] = BatchLoader(
             arrays, store, args.batch_size,
             shuffle=(split == "train"), seed=args.seed,
-            drop_remainder=(split == "train"))
+            drop_remainder=(split == "train"), extras=extras)
     return loaders, vocab, norm_scalar
 
 

@@ -18,7 +18,8 @@ def run(args):
     print(args)
     demand = bool(args.demand)
     loaders, vocab, norm_scalar = build_loaders(
-        args, demand=demand, output_len=args.output_len, splits=("test",))
+        args, demand=demand, output_len=args.output_len, splits=("test",),
+        text_features=(args.model == "gtm_v1"))
     model = make_model(args, vocab)
 
     trainer = Trainer(model, TrainConfig(norm_scalar=norm_scalar))

@@ -22,33 +22,38 @@ from visuelle2_tpu.models import build
 from visuelle2_tpu.train.checkpoint import CheckpointManager
 from visuelle2_tpu.train.loop import TrainConfig, Trainer
 
-TRANSFORMER_MODELS = ["gtm", "m4ft", "gated_v1", "gated_v2", "gated_v3", "gated_v4"]
+TRANSFORMER_MODELS = ["gtm", "m4ft", "gated_v1", "gated_v2", "gated_v3",
+                      "gated_v4", "gtm_v1"]
 
 
 def make_model(args, vocab):
-    return build(
-        args.model,
+    kw = dict(
         embedding_dim=args.embedding_dim,
         hidden_dim=args.hidden_dim,
         output_len=args.output_len,
         num_heads=args.num_attn_heads,
         num_layers=args.num_hidden_layers,
-        vocab=vocab,
         use_encoder_mask=bool(args.use_encoder_mask),
         autoregressive=bool(args.autoregressive),
         use_text=bool(args.use_text),
         use_img=bool(args.use_img),
-        query_modality=args.query_modality,
         image_arch=args.image_arch,
         image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32,
     )
+    if args.model == "gtm_v1":
+        # Original VISUELLE-1 GTM: BERT-featurized text at ingest (batch
+        # extra "text_features"), fully-frozen backbone, no vocab/query args.
+        return build("gtm_v1", **kw)
+    return build(args.model, vocab=vocab,
+                 query_modality=args.query_modality, **kw)
 
 
 def run(args):
     print(args)
     demand = bool(args.demand)
     loaders, vocab, norm_scalar = build_loaders(
-        args, demand=demand, output_len=args.output_len)
+        args, demand=demand, output_len=args.output_len,
+        text_features=(args.model == "gtm_v1"))
     model = make_model(args, vocab)
 
     trainer = Trainer(model, TrainConfig(

@@ -37,13 +37,19 @@ class BatchLoader:
 
     def __init__(self, arrays: Visuelle2Arrays, images: Optional[ImageStore],
                  batch_size: int, *, shuffle: bool = False, seed: int = 21,
-                 drop_remainder: bool = False, native_prefetch: bool = True):
+                 drop_remainder: bool = False, native_prefetch: bool = True,
+                 extras: Optional[Dict[str, np.ndarray]] = None):
         self.arrays = arrays
         self.images = images
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
+        # Per-item side arrays gathered/padded alongside the batch (e.g.
+        # gtm_v1's ingest-time text_features [N, 768]).
+        self.extras = extras or {}
+        for k, v in self.extras.items():
+            assert len(v) == len(arrays), (k, len(v), len(arrays))
         self._epoch = 0
         self._engine = None
         if native_prefetch and images is not None:
@@ -76,6 +82,8 @@ class BatchLoader:
         else:
             batch["X"] = a.X[idx]
             batch["y"] = a.y[idx]
+        for k, v in self.extras.items():
+            batch[k] = v[idx]
         mask = np.zeros(pad_to, np.float32)
         mask[: len(idx)] = 1.0
         batch = {k: _pad_to(v, pad_to) for k, v in batch.items()}
