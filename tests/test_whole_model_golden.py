@@ -149,7 +149,7 @@ def test_cross_attn_rnn_21_whole_model_matches_torch():
             for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
                       VOCAB.num_store)]
     sales_gru = torch.nn.GRU(1, E, batch_first=True)
-    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1)
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
     adds = {k: (torch.nn.Linear(E, E, bias=False),
                 torch.nn.Linear(E, E, bias=False),
                 torch.nn.Linear(E, 1)) for k in ("img", "ts", "mm")}
@@ -247,7 +247,7 @@ def test_cross_attn_rnn_demand_whole_model_matches_torch():
     embs = [torch.nn.Embedding(v, E)
             for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
                       VOCAB.num_store)]
-    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1)
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
     adds = {k: (torch.nn.Linear(E, E, bias=False),
                 torch.nn.Linear(E, E, bias=False),
                 torch.nn.Linear(E, 1)) for k in ("img", "ts", "mm")}
@@ -319,6 +319,172 @@ def test_cross_attn_rnn_demand_whole_model_matches_torch():
     model = build("cross_attn_rnn_demand", vocab=VOCAB, out_len=12,
                   attention_dim=E, embedding_dim=E, hidden_dim=E,
                   image_arch="tiny", faithful_temporal_bug=True)
+    pred, _ = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
+
+
+class _TorchPureGatedMHA(torch.nn.Module):
+    """Reference math of PureGatedMultiheadAttention
+    (Proposed_model_v2.py:546-602), seq-first like torch MHA."""
+
+    def __init__(self, D, h, head_gate=False):
+        super().__init__()
+        self.h, self.d = h, D // h
+        self.q_proj = torch.nn.Linear(D, D)
+        self.k_proj = torch.nn.Linear(D, D)
+        self.v_proj = torch.nn.Linear(D, D)
+        self.out_proj = torch.nn.Linear(D, D)
+        self.gate_proj = torch.nn.Linear(self.d if head_gate else D,
+                                         self.d if head_gate else D)
+        torch.nn.init.constant_(self.gate_proj.bias, 2.0)
+        self.head_gate = head_gate
+
+    def forward(self, query, key, value, attn_mask=None):
+        L, B, D = query.shape
+        S = key.shape[0]
+        h, d = self.h, self.d
+        q = self.q_proj(query).view(L, B, h, d).permute(1, 2, 0, 3)
+        k = self.k_proj(key).view(S, B, h, d).permute(1, 2, 0, 3)
+        v = self.v_proj(value).view(S, B, h, d).permute(1, 2, 0, 3)
+        q_t = q.reshape(B * h, L, d)
+        scores = torch.bmm(q_t, k.reshape(B * h, S, d).transpose(1, 2)) * d ** -0.5
+        if attn_mask is not None:
+            scores = scores + attn_mask
+        probs = torch.softmax(scores, dim=-1)
+        out = torch.bmm(probs, v.reshape(B * h, S, d))
+        if self.head_gate:  # HeadSpecificGatedAttention (:643-690)
+            out = out * torch.sigmoid(self.gate_proj(q_t))
+            merged = out.view(B, h, L, d).permute(2, 0, 1, 3).reshape(L, B, D)
+        else:  # post-concat gate (:546-602)
+            merged = out.view(B, h, L, d).permute(2, 0, 1, 3).reshape(L, B, D)
+            merged = merged * torch.sigmoid(self.gate_proj(query))
+        return self.out_proj(merged)
+
+
+def _gated_mha_params(m):
+    return {nm: linear_params(getattr(m, f"{nm}"))
+            for nm in ("q_proj", "k_proj", "v_proj", "gate_proj", "out_proj")}
+
+
+def test_gated_v2_whole_model_matches_torch():
+    """gated_v2 end to end vs the reference math: head-specific-gated trend
+    encoder, pure-gated fusion (+2.0 bias), standard-self/pure-gated-cross
+    decoder (Proposed_model_v2.py:747-847)."""
+    torch.manual_seed(13)
+    n = 4
+    batch = _batch(n=n, demand=True)
+
+    cnn = _tiny_resnet().eval()
+    projection = torch.nn.Conv2d(2048, E, 1)  # v2 ImageEncoder (:506-522)
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    dummy_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    dummy_fusion = torch.nn.Linear(4 * E, E)
+    gt_input = torch.nn.Linear(3, E)
+    enc_sa = [_TorchPureGatedMHA(E, 4, head_gate=True) for _ in range(2)]
+    enc_norm = [[torch.nn.LayerNorm(E) for _ in range(2)] for _ in range(2)]
+    enc_ff = [(torch.nn.Linear(E, 2048), torch.nn.Linear(2048, E))
+              for _ in range(2)]
+    gate_fc = torch.nn.Linear(6 * E, 6 * E)
+    torch.nn.init.constant_(gate_fc.bias, 2.0)
+    fusion_fc = torch.nn.Linear(6 * E, E)
+    dec_sa = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    dec_ca = _TorchPureGatedMHA(E, 4)
+    dec_norm = [torch.nn.LayerNorm(E) for _ in range(3)]
+    dec_ff = (torch.nn.Linear(E, 4 * E), torch.nn.Linear(4 * E, E))
+    decoder_fc = torch.nn.Linear(E, 12)
+
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+
+    with torch.no_grad():
+        # v2 forward (:803-846), eval mode.  gcd(52, 12) = 4 block mask.
+        mask = torch.full((52, 52), float("-inf"))
+        for i in range(0, 52, 4):
+            mask[i:i + 4, i:i + 4] = 0.0
+        g = gt_input(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+        src = g.permute(1, 0, 2) + pos[:, None, :]
+        for sa, (n1, n2), (l1, l2) in zip(enc_sa, enc_norm, enc_ff):
+            src = n1(src + sa(src, src, src, attn_mask=mask))
+            src = n2(src + l2(torch.relu(l1(src))))
+        memory = src
+
+        h_text = torch.stack([e(torch.tensor(batch[k].astype(np.int64)))
+                              for e, k in zip(embs, ("cat", "col", "fab",
+                                                     "store"))], dim=1)
+        feats = cnn(_normalized_images(batch["images"]))
+        h_img = projection(feats).mean(dim=(2, 3))
+        d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                       for i, l in enumerate(dummy_lins)], dim=1)
+        h_dummy = dummy_fusion(d)
+        h_sales = sales_gru(torch.zeros(n, 2, 1))[0][:, -1, :]
+
+        cat_f = torch.cat([h_img, h_text.reshape(n, -1), h_dummy], dim=1)
+        gated = cat_f + cat_f * torch.sigmoid(gate_fc(cat_f))
+        static_ctx = torch.relu(fusion_fc(gated))
+
+        tgt = (h_sales + static_ctx).unsqueeze(0)
+        t2 = dec_sa(tgt, tgt, tgt)[0]
+        tgt = dec_norm[0](tgt + t2)
+        tgt = dec_norm[1](tgt + dec_ca(tgt, memory, memory))
+        tgt = dec_norm[2](tgt + dec_ff[1](torch.relu(dec_ff[0](tgt))))
+        t_pred = decoder_fc(tgt).transpose(0, 1).reshape(n, 12).numpy()
+
+    rn = _backbone_variables(cnn)
+    enc_layers = {}
+    for i, (sa, (n1, n2), (l1, l2)) in enumerate(zip(enc_sa, enc_norm, enc_ff)):
+        enc_layers[f"layer{i}"] = {
+            "self_attn": _gated_mha_params(sa),
+            "ffn": {"linear1": linear_params(l1), "linear2": linear_params(l2)},
+            "norm1": {"scale": t2n(n1.weight), "bias": t2n(n1.bias)},
+            "norm2": {"scale": t2n(n2.weight), "bias": t2n(n2.bias)},
+        }
+    variables = {
+        "params": {
+            "gtrend_encoder": {"input_linear": linear_params(gt_input),
+                               "encoder": enc_layers},
+            "text_encoder": {nm: _embedding_params(e)
+                             for nm, e in zip(("cat", "col", "fab", "store"),
+                                              embs)},
+            "image_encoder": {
+                "backbone": rn["params"],
+                "projection": {
+                    "kernel": np.transpose(t2n(projection.weight), (2, 3, 1, 0)),
+                    "bias": t2n(projection.bias)},
+            },
+            "dummy_encoder": dict(
+                {nm: linear_params(l)
+                 for nm, l in zip(("day", "week", "month", "year"),
+                                  dummy_lins)},
+                fusion=linear_params(dummy_fusion)),
+            "sales_encoder": {"gru": gru_params(sales_gru)},
+            "fusion": {"gate_fc": linear_params(gate_fc),
+                       "fusion_fc": linear_params(fusion_fc)},
+            "decoder": {"layer0": {
+                "self_attn": mha_params(dec_sa),
+                "cross_attn": _gated_mha_params(dec_ca),
+                "ffn": {"linear1": linear_params(dec_ff[0]),
+                        "linear2": linear_params(dec_ff[1])},
+                "norm1": {"scale": t2n(dec_norm[0].weight),
+                          "bias": t2n(dec_norm[0].bias)},
+                "norm2": {"scale": t2n(dec_norm[1].weight),
+                          "bias": t2n(dec_norm[1].bias)},
+                "norm3": {"scale": t2n(dec_norm[2].weight),
+                          "bias": t2n(dec_norm[2].bias)},
+            }},
+            "decoder_fc": linear_params(decoder_fc),
+        },
+        "batch_stats": {"image_encoder": {"backbone": rn["batch_stats"]}},
+    }
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    model = build("gated_v2", vocab=VOCAB, output_len=12,
+                  embedding_dim=E, hidden_dim=E, image_arch="tiny")
     pred, _ = model.apply(variables, batch, train=False)
     np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
 
