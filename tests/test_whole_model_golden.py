@@ -366,6 +366,102 @@ def _gated_mha_params(m):
             for nm in ("q_proj", "k_proj", "v_proj", "gate_proj", "out_proj")}
 
 
+def test_cross_attn_rnn_210_whole_model_matches_torch():
+    """SO-fore 2-10: sales-GRU-initialized 10-step decode under lax.scan vs
+    the reference loop (CrossAttnRNN210.py:143-227), TF off (eval)."""
+    torch.manual_seed(9)
+    n, W, T = 4, 1, 10
+    batch = _batch(n=n, windows=W, horizon=T)
+
+    cnn = _tiny_resnet().eval()
+    img_fc = torch.nn.Linear(2048, E)
+    trend_gru = torch.nn.GRU(3, E, batch_first=True)
+    temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    adds = {k: (torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, 1)) for k in ("img", "ts", "mm")}
+    trend_linear = torch.nn.Linear(52 * E, E)
+    mm_embedder = torch.nn.Linear(E, E)
+    dec_gru = torch.nn.GRU(E + 1, E, batch_first=True)
+    decoder_fc = torch.nn.Linear(E, 1)
+
+    with torch.no_grad():
+        X = torch.tensor(batch["X"]).reshape(n * W, 2, 1)
+        feats = cnn(_normalized_images(batch["images"]))
+        img_enc = img_fc(feats.flatten(2).permute(0, 2, 1))
+        trend_enc = trend_gru(
+            torch.tensor(batch["gtrends"]).permute(0, 2, 1))[0]
+        dummy = sum(l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                    for i, l in enumerate(temp_lins))
+        attr = sum(e(torch.tensor(batch[k].astype(np.int64)))
+                   for e, k in zip(embs, ("cat", "col", "fab", "store")))
+        trend_sa = self_attn(*([trend_enc.permute(1, 0, 2)] * 3))[0]
+        trend_sa = trend_sa.permute(1, 0, 2)
+
+        _, h = sales_gru(X)
+        hidden = h.squeeze(0)
+        dec_out = X[:, -1, :].unsqueeze(1)  # last observed sale [N, 1, 1]
+        outs = []
+        for _t in range(T):
+            a_img, _ = _additive(*adds["img"], img_enc, hidden)
+            a_img = a_img.sum(1)
+            a_tr, _ = _additive(*adds["ts"], trend_sa, hidden)
+            a_tr = trend_linear(a_tr.reshape(n * W, -1))
+            mm_in = torch.stack([dummy, a_img, attr, a_tr], dim=1)
+            a_mm, _ = _additive(*adds["mm"], mm_in, hidden)
+            ctx = mm_embedder((mm_in + a_mm).sum(1))
+            x = torch.cat([ctx.unsqueeze(1), dec_out], dim=2)
+            out, h2 = dec_gru(x, hidden.unsqueeze(0))
+            hidden = h2.squeeze(0)
+            dec_out = decoder_fc(out)
+            outs.append(dec_out[:, 0, 0])
+        t_pred = torch.stack(outs, dim=1).numpy()  # [N, 10]
+
+    rn = _backbone_variables(cnn)
+    temp_names = ("day", "week", "month", "year")
+    variables = {
+        "params": {
+            "static": {
+                "image_encoder": {"backbone": rn["params"],
+                                  "fc": linear_params(img_fc)},
+                "trend_encoder": {"gru": gru_params(trend_gru)},
+                "temp_encoder": {nm: linear_params(l)
+                                 for nm, l in zip(temp_names, temp_lins)},
+                "attribute_encoder": {
+                    nm: _embedding_params(e)
+                    for nm, e in zip(("cat", "col", "fab", "store"), embs)},
+            },
+            "ts_self_attention": mha_params(self_attn),
+            "sales_encoder_gru": gru_params(sales_gru),
+            "decoder": {
+                "fusion": {
+                    "img_attention": _additive_params(*adds["img"]),
+                    "ts_attention": _additive_params(*adds["ts"]),
+                    "multimodal_attention": _additive_params(*adds["mm"]),
+                    "trend_linear": linear_params(trend_linear),
+                    "multimodal_embedder": linear_params(mm_embedder),
+                },
+                "decoder_cell": gru_params(dec_gru),
+                "decoder_fc": linear_params(decoder_fc),
+            },
+        },
+        "batch_stats": {"static": {"image_encoder": {
+            "backbone": rn["batch_stats"]}}},
+    }
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    model = build("cross_attn_rnn_210", vocab=VOCAB, out_len=T,
+                  attention_dim=E, embedding_dim=E, hidden_dim=E,
+                  image_arch="tiny", use_teacher_forcing=False)
+    pred, _ = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
+
+
 def test_gated_v2_whole_model_matches_torch():
     """gated_v2 end to end vs the reference math: head-specific-gated trend
     encoder, pure-gated fusion (+2.0 bias), standard-self/pure-gated-cross
@@ -597,6 +693,243 @@ def test_gated_v4_whole_model_matches_torch():
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
     model = build("gated_v4", vocab=VOCAB, output_len=12,
+                  embedding_dim=E, hidden_dim=E, image_arch="tiny")
+    pred, _ = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
+
+
+def _bn_params(bn):
+    return ({"scale": t2n(bn.weight), "bias": t2n(bn.bias)},
+            {"mean": t2n(bn.running_mean), "var": t2n(bn.running_var)})
+
+
+def _ln_params(ln):
+    return {"scale": t2n(ln.weight), "bias": t2n(ln.bias)}
+
+
+class _TorchFusionBlock(torch.nn.Module):
+    """M4FT FusionBlock: BN -> Linear -> ReLU -> Dropout -> Linear
+    (M4FT_Visuelle2.py:161-173), eval mode."""
+
+    def __init__(self, H):
+        super().__init__()
+        self.bn = torch.nn.BatchNorm1d(H).eval()
+        self.fc1 = torch.nn.Linear(H, H)
+        self.fc2 = torch.nn.Linear(H, H)
+        with torch.no_grad():
+            self.bn.running_mean.uniform_(-0.3, 0.3)
+            self.bn.running_var.uniform_(0.7, 1.3)
+
+    def forward(self, x):
+        return self.fc2(torch.relu(self.fc1(self.bn(x))))
+
+    def params(self):
+        p, s = _bn_params(self.bn)
+        return ({"bn": p, "fc1": linear_params(self.fc1),
+                 "fc2": linear_params(self.fc2)},
+                {"bn": s})
+
+
+@pytest.mark.parametrize("variant", ["gtm", "m4ft", "gated_v1", "gated_v3"])
+def test_seq2seq_variants_whole_model_match_torch(variant):
+    """Remaining GTM-family variants end to end vs raw-torch compositions:
+    gtm (BN concat fusion, GTM_Visuelle2.py:151-172), m4ft (hierarchical
+    summation fusion over hidden-projected encoders, M4FT_Visuelle2.py:
+    83-202), gated_v1 (R-GFN + gated cross-attn decoder, Proposed_model.py:
+    141-262), gated_v3 (TARG text anchor over m4ft encoders,
+    Proposed_model_v3.py:175-236)."""
+    torch.manual_seed(17)
+    n = 4
+    batch = _batch(n=n, demand=True)
+    m4ft_style = variant in ("m4ft", "gated_v3")
+
+    cnn = _tiny_resnet().eval()
+    projection = torch.nn.Conv2d(2048, E, 1)
+    final_proj = torch.nn.Linear(E, E) if m4ft_style else None
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    text_proj = torch.nn.Linear(4 * E, E) if m4ft_style else None
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    temp_proj = torch.nn.Linear(4 * E, E)  # dummy_fusion or m4ft proj
+    gt_input = torch.nn.Linear(3, E)
+    enc_layers_t = [torch.nn.TransformerEncoderLayer(E, 4, dropout=0.2).eval()
+                    for _ in range(2)]
+    dec_layer = torch.nn.TransformerDecoderLayer(
+        E, 4, dim_feedforward=4 * E, dropout=0.1).eval()
+    decoder_fc = torch.nn.Linear(E, 12)
+
+    # Fusion networks per variant.
+    if variant == "gtm":
+        fus_bn = torch.nn.BatchNorm1d(6 * E).eval()
+        with torch.no_grad():
+            fus_bn.running_mean.uniform_(-0.3, 0.3)
+            fus_bn.running_var.uniform_(0.7, 1.3)
+        fus_fc1 = torch.nn.Linear(6 * E, 6 * E, bias=False)
+        fus_fc2 = torch.nn.Linear(6 * E, E)
+    elif variant == "m4ft":
+        blocks = {k: _TorchFusionBlock(E)
+                  for k in ("fusion_temp_text", "fusion_text_vis",
+                            "fusion_final")}
+    elif variant == "gated_v1":
+        gates = {k: (torch.nn.Linear(d, d), torch.nn.LayerNorm(d))
+                 for k, d in (("img_gate", E), ("text_gate", 4 * E),
+                              ("dummy_gate", E))}
+        fus_fc = torch.nn.Linear(6 * E, E)
+        v1_ca_mha = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+        v1_gate = torch.nn.Linear(E, E)
+        v1_sa = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+        v1_norm = [torch.nn.LayerNorm(E) for _ in range(3)]
+        v1_ff = (torch.nn.Linear(E, 4 * E), torch.nn.Linear(4 * E, E))
+    else:  # gated_v3 (TARG, text anchor)
+        g1 = torch.nn.Linear(2 * E, E)
+        g2 = torch.nn.Linear(2 * E, E)
+        final_block = _TorchFusionBlock(E)
+
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+
+    with torch.no_grad():
+        mask = torch.full((52, 52), float("-inf"))
+        for i in range(0, 52, 4):
+            mask[i:i + 4, i:i + 4] = 0.0
+        g = gt_input(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+        memory = g.permute(1, 0, 2) + pos[:, None, :]
+        for layer in enc_layers_t:
+            memory = layer(memory, src_mask=mask)
+
+        e_stack = torch.stack([e(torch.tensor(batch[k].astype(np.int64)))
+                               for e, k in zip(embs, ("cat", "col", "fab",
+                                                      "store"))], dim=1)
+        feats = cnn(_normalized_images(batch["images"]))
+        img_pooled = projection(feats).mean(dim=(2, 3))
+        d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                       for i, l in enumerate(temp_lins)], dim=1)
+        e_temp = temp_proj(d)
+        h_sales = sales_gru(torch.zeros(n, 2, 1))[0][:, -1, :]
+
+        if m4ft_style:
+            e_text = text_proj(e_stack.reshape(n, -1))
+            e_vis = final_proj(img_pooled)
+            if variant == "m4ft":
+                out_tt = blocks["fusion_temp_text"](e_temp + e_text)
+                out_tv = blocks["fusion_text_vis"](e_text + e_vis)
+                ctx = blocks["fusion_final"](
+                    out_tt + out_tv + e_temp + e_text + e_vis)
+            else:  # TARG: q=text, contexts gated by sigma(W[q;c])
+                gate1 = torch.sigmoid(g1(torch.cat([e_text, e_vis], 1)))
+                gate2 = torch.sigmoid(g2(torch.cat([e_text, e_temp], 1)))
+                ctx = final_block(e_text + e_vis * gate1 + e_temp * gate2)
+        else:
+            text_flat = e_stack.reshape(n, -1)
+            if variant == "gtm":
+                cat_f = torch.cat([img_pooled, text_flat, e_temp], 1)
+                ctx = fus_fc2(torch.relu(fus_fc1(fus_bn(cat_f))))
+            else:  # gated_v1 R-GFN
+                def grb(x, fc, norm):
+                    return norm(x + x * torch.sigmoid(fc(x)))
+                cat_f = torch.cat([grb(img_pooled, *gates["img_gate"]),
+                                   grb(text_flat, *gates["text_gate"]),
+                                   grb(e_temp, *gates["dummy_gate"])], 1)
+                ctx = torch.relu(fus_fc(cat_f))
+
+        tgt = (h_sales + ctx).unsqueeze(0)
+        if variant == "gated_v1":
+            t2_ = v1_sa(tgt, tgt, tgt)[0]
+            x = v1_norm[0](tgt + t2_)
+            ca = v1_ca_mha(x, memory, memory)[0]
+            ca = ca * torch.sigmoid(v1_gate(x))
+            x = v1_norm[1](x + ca)
+            x = v1_norm[2](x + v1_ff[1](torch.relu(v1_ff[0](x))))
+            out = x
+        else:
+            out = dec_layer(tgt, memory)
+        t_pred = decoder_fc(out).transpose(0, 1).reshape(n, 12).numpy()
+
+    # ---- our side with converted weights.
+    rn = _backbone_variables(cnn)
+    img_params = {"backbone": rn["params"],
+                  "projection": {"kernel": np.transpose(
+                      t2n(projection.weight), (2, 3, 1, 0)),
+                      "bias": t2n(projection.bias)}}
+    if m4ft_style:
+        img_params["final_proj"] = linear_params(final_proj)
+        text_params = dict({nm: _embedding_params(e) for nm, e in
+                            zip(("cat", "col", "fab", "store"), embs)},
+                           proj=linear_params(text_proj))
+        temp_params = dict({nm: linear_params(l) for nm, l in
+                            zip(("day", "week", "month", "year"), temp_lins)},
+                           proj=linear_params(temp_proj))
+        temp_key = "temporal_encoder"
+    else:
+        text_params = {nm: _embedding_params(e) for nm, e in
+                       zip(("cat", "col", "fab", "store"), embs)}
+        temp_params = dict({nm: linear_params(l) for nm, l in
+                            zip(("day", "week", "month", "year"), temp_lins)},
+                           fusion=linear_params(temp_proj))
+        temp_key = "dummy_encoder"
+
+    fusion_stats = {}
+    if variant == "gtm":
+        bn_p, bn_s = _bn_params(fus_bn)
+        fusion_params = {"bn": bn_p, "fc1": linear_params(fus_fc1),
+                         "fc2": linear_params(fus_fc2)}
+        fusion_stats = {"bn": bn_s}
+    elif variant == "m4ft":
+        fusion_params, fusion_stats = {}, {}
+        for k, blk in blocks.items():
+            p, s = blk.params()
+            fusion_params[k], fusion_stats[k] = p, s
+    elif variant == "gated_v1":
+        fusion_params = {k: {"gate_fc": linear_params(fc),
+                             "norm": _ln_params(norm)}
+                         for k, (fc, norm) in gates.items()}
+        fusion_params["fusion_fc"] = linear_params(fus_fc)
+    else:
+        p, s = final_block.params()
+        fusion_params = {"gate_fc1": linear_params(g1),
+                         "gate_fc2": linear_params(g2), "fusion_final": p}
+        fusion_stats = {"fusion_final": s}
+
+    if variant == "gated_v1":
+        dec_params = {"layer0": {
+            "self_attn": mha_params(v1_sa),
+            "cross_attn": {"mha": mha_params(v1_ca_mha),
+                           "gate_proj": linear_params(v1_gate)},
+            "ffn": {"linear1": linear_params(v1_ff[0]),
+                    "linear2": linear_params(v1_ff[1])},
+            "norm1": _ln_params(v1_norm[0]),
+            "norm2": _ln_params(v1_norm[1]),
+            "norm3": _ln_params(v1_norm[2]),
+        }}
+    else:
+        dec_params = {"layer0": decoder_layer_params(dec_layer)}
+
+    params = {
+        "gtrend_encoder": {
+            "input_linear": linear_params(gt_input),
+            "encoder": {f"layer{i}": encoder_layer_params(l)
+                        for i, l in enumerate(enc_layers_t)},
+        },
+        "text_encoder": text_params,
+        "image_encoder": img_params,
+        temp_key: temp_params,
+        "sales_encoder": {"gru": gru_params(sales_gru)},
+        "fusion": fusion_params,
+        "decoder": dec_params,
+        "decoder_fc": linear_params(decoder_fc),
+    }
+    batch_stats = {"image_encoder": {"backbone": rn["batch_stats"]}}
+    if fusion_stats:
+        batch_stats["fusion"] = fusion_stats
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, {"params": params, "batch_stats": batch_stats})
+
+    model = build(variant, vocab=VOCAB, output_len=12,
                   embedding_dim=E, hidden_dim=E, image_arch="tiny")
     pred, _ = model.apply(variables, batch, train=False)
     np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
