@@ -933,3 +933,109 @@ def test_seq2seq_variants_whole_model_match_torch(variant):
                   embedding_dim=E, hidden_dim=E, image_arch="tiny")
     pred, _ = model.apply(variables, batch, train=False)
     np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
+
+
+def test_gtm_v1_whole_model_matches_torch():
+    """Original VISUELLE-1 GTM end to end (GTM.py:235-294): BERT-featurized
+    text -> Linear, fully-frozen backbone, BN concat fusion, memory-only
+    decoder layer that skips self-attention (GTM.py:199-232)."""
+    torch.manual_seed(23)
+    n = 4
+    batch = _batch(n=n, demand=True)
+    rng = np.random.default_rng(5)
+    batch["text_features"] = rng.standard_normal((n, 768)).astype(np.float32)
+
+    cnn = _tiny_resnet().eval()
+    text_fc = torch.nn.Linear(768, E)
+    dummy_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    dummy_fusion = torch.nn.Linear(4 * E, E)
+    gt_input = torch.nn.Linear(3, E)
+    enc_layers_t = [torch.nn.TransformerEncoderLayer(E, 4, dropout=0.2).eval()
+                    for _ in range(2)]
+    img_linear = torch.nn.Linear(2048, E)
+    fus_bn = torch.nn.BatchNorm1d(3 * E).eval()
+    with torch.no_grad():
+        fus_bn.running_mean.uniform_(-0.3, 0.3)
+        fus_bn.running_var.uniform_(0.7, 1.3)
+    fus_fc1 = torch.nn.Linear(3 * E, 3 * E, bias=False)
+    fus_fc2 = torch.nn.Linear(3 * E, E)
+    dec_ca = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    dec_l1, dec_l2 = torch.nn.Linear(E, 4 * E), torch.nn.Linear(4 * E, E)
+    dec_n2, dec_n3 = torch.nn.LayerNorm(E), torch.nn.LayerNorm(E)
+    decoder_fc = torch.nn.Linear(E, 12)
+
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+
+    with torch.no_grad():
+        # gcd(52, 12) = 4 block mask; hidden_dim == E here.
+        mask = torch.full((52, 52), float("-inf"))
+        for i in range(0, 52, 4):
+            mask[i:i + 4, i:i + 4] = 0.0
+        g = gt_input(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+        memory = g.permute(1, 0, 2) + pos[:, None, :]
+        for layer in enc_layers_t:
+            memory = layer(memory, src_mask=mask)
+
+        feats = cnn(_normalized_images(batch["images"]))  # [n, 2048, 1, 1]
+        text = text_fc(torch.tensor(batch["text_features"]))
+        d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                       for i, l in enumerate(dummy_lins)], dim=1)
+        dummy = dummy_fusion(d)
+        condensed = img_linear(feats.mean(dim=(2, 3)))
+        cat_f = torch.cat([condensed, text, dummy], dim=1)
+        ctx = fus_fc2(torch.relu(fus_fc1(fus_bn(cat_f))))
+
+        tgt = ctx.unsqueeze(0)
+        t2_, _ = dec_ca(tgt, memory, memory)
+        x = dec_n2(tgt + t2_)
+        x = dec_n3(x + dec_l2(torch.relu(dec_l1(x))))
+        t_pred = decoder_fc(x[0]).reshape(n, 12).numpy()
+
+    rn = _backbone_variables(cnn)
+    variables = {
+        "params": {
+            "image_encoder": rn["params"],
+            "text_fc": linear_params(text_fc),
+            "dummy_encoder": dict(
+                {nm: linear_params(l)
+                 for nm, l in zip(("day", "week", "month", "year"),
+                                  dummy_lins)},
+                fusion=linear_params(dummy_fusion)),
+            "gtrend_encoder": {
+                "input_linear": linear_params(gt_input),
+                "encoder": {f"layer{i}": encoder_layer_params(l)
+                            for i, l in enumerate(enc_layers_t)},
+            },
+            "static_feature_encoder": {
+                "img_linear": linear_params(img_linear),
+                "bn": _bn_params(fus_bn)[0],
+                "fc1": linear_params(fus_fc1),
+                "fc2": linear_params(fus_fc2),
+            },
+            "decoder0": {
+                "multihead_attn": mha_params(dec_ca),
+                "linear1": linear_params(dec_l1),
+                "linear2": linear_params(dec_l2),
+                "norm2": _ln_params(dec_n2),
+                "norm3": _ln_params(dec_n3),
+            },
+            "decoder_fc": linear_params(decoder_fc),
+        },
+        "batch_stats": {
+            "image_encoder": rn["batch_stats"],
+            "static_feature_encoder": {"bn": _bn_params(fus_bn)[1]},
+        },
+    }
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    from visuelle2_tpu.models.gtm_v1 import GTMv1
+
+    model = GTMv1(embedding_dim=E, hidden_dim=E, output_len=12,
+                  image_arch="tiny")
+    pred, attn = model.apply(variables, batch, train=False)
+    assert attn is not None
+    np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
