@@ -55,13 +55,15 @@ def measure(batch_size, image=299, iters=6, use_pallas=False):
     fps = batch_size / dt / max(1, len(jax.devices()))
     lowered = scan_batches.lower(variables, batch, d_timed).compile()
     cost = lowered.cost_analysis()
+    # XLA cost_analysis counts a lax.scan body ONCE (not x trip count), so
+    # the program flops already equal one iteration's flops.
     flops = (cost or {}).get("flops", float("nan"))
     print(json.dumps({
         "batch": batch_size, "pallas": use_pallas,
         "fps_chip": round(fps, 1),
-        "gflops_sample": round(flops / iters / batch_size / 1e9, 2)
+        "gflops_sample": round(flops / batch_size / 1e9, 2)
         if np.isfinite(flops) else None,
-        "tflops_sustained": round(fps * flops / iters / batch_size / 1e12, 1)
+        "tflops_sustained": round(fps * flops / batch_size / 1e12, 1)
         if np.isfinite(flops) else None,
     }), flush=True)
     return fps

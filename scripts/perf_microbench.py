@@ -41,7 +41,7 @@ def _time_scan(fn, stacks):
 
 def conv_bench():
     """ResNet-101 layer3-representative conv: 3x3, 256ch, 19x19 spatial,
-    batch 128 — in bf16 vs int8 (int32 accumulate)."""
+    in bf16 vs int8 (int32 accumulate); shapes sized for the tunnel."""
     import jax
     import jax.numpy as jnp
 

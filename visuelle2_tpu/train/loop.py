@@ -169,7 +169,9 @@ class Trainer:
             drop_rng, samp_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
             def loss_fn(params):
-                variables = {"params": params}
+                # Frozen-stage grads can never be emitted (XLA also DCEs
+                # them when unused — measured identical; see optim.py).
+                variables = {"params": optim_lib.stop_frozen_gradients(params)}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                 out, mutated = model.apply(
