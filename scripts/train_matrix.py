@@ -44,7 +44,21 @@ TASKS = {
     "gated_v2": (dict(output_len=12, **SMALL), True, 12, 0.5),
     "gated_v3": (dict(output_len=12, **SMALL), True, 12, 0.5),
     "gated_v4": (dict(output_len=12, **SMALL), True, 12, 0.5),
+    # Original VISUELLE-1 GTM: needs ingest-time text features (see below).
+    "gtm_v1": (dict(output_len=12, **SMALL), True, 12, 0.5),
 }
+
+
+def _text_extras(root, arrays):
+    from visuelle2_tpu.data.pipeline import load_label_dicts
+    from visuelle2_tpu.models.gtm_v1 import TextFeaturizer
+
+    cat_d, col_d, fab_d = load_label_dicts(root)
+    feat = TextFeaturizer(cat_d, col_d, fab_d)
+    import numpy as np
+
+    return {"text_features": feat(arrays.cat, arrays.col,
+                                  arrays.fab).astype(np.float32)}
 
 
 def main(root="/tmp/vis2_matrix", epochs=int(os.environ.get("MATRIX_EPOCHS", 5))):
@@ -58,9 +72,15 @@ def main(root="/tmp/vis2_matrix", epochs=int(os.environ.get("MATRIX_EPOCHS", 5))
         te = load_visuelle2(root, "test", demand=demand, output_len=out_len)
         store_tr = ImageStore.build(os.path.join(root, "images"), tr.image_paths, size=32)
         store_te = ImageStore.build(os.path.join(root, "images"), te.image_paths, size=32)
-        train_loader = BatchLoader(tr, store_tr, 32, shuffle=True, drop_remainder=True)
-        val_loader = BatchLoader(te, store_te, 32)
-        model = build(name, vocab=VOCAB, **kw)
+        ex_tr = _text_extras(root, tr) if name == "gtm_v1" else None
+        ex_te = _text_extras(root, te) if name == "gtm_v1" else None
+        train_loader = BatchLoader(tr, store_tr, 32, shuffle=True,
+                                   drop_remainder=True, extras=ex_tr)
+        val_loader = BatchLoader(te, store_te, 32, extras=ex_te)
+        if name == "gtm_v1":
+            model = build(name, **kw)
+        else:
+            model = build(name, vocab=VOCAB, **kw)
         trainer = Trainer(model, TrainConfig(
             epochs=epochs, batch_size=32, grad_clip=clip, learning_rate=5e-3),
             mesh=mesh)
