@@ -27,44 +27,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def flatten_tree(tree, prefix=""):
-    flat = {}
-    for k, v in tree.items():
-        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
-        if isinstance(v, dict):
-            flat.update(flatten_tree(v, key))
-        else:
-            flat[key] = np.asarray(v)
-    return flat
-
-
-def unflatten_tree(flat):
-    tree = {}
-    for key, v in flat.items():
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
-
-
-def save_variables(variables, out_path):
-    flat = {}
-    for coll, sub in variables.items():
-        flat.update(flatten_tree(sub, coll))
-    np.savez_compressed(out_path, **flat)
-
-
-def load_variables(path):
-    """Load a converted-backbone .npz back into {'params', 'batch_stats'}."""
-    with np.load(path) as z:
-        flat = {k: z[k] for k in z.files}
-    grouped = {}
-    for key, v in flat.items():
-        coll, rest = key.split("/", 1)
-        grouped.setdefault(coll, {})[rest] = v
-    return {coll: unflatten_tree(sub) for coll, sub in grouped.items()}
+# The npz codec lives in the package so the writer (here) and the reader
+# (models/pretrained.py, used by --pretrained_backbone) can never drift.
+from visuelle2_tpu.models.pretrained import (  # noqa: E402
+    flatten_tree,
+    load_backbone_npz as load_variables,
+    save_backbone_npz as save_variables,
+)
 
 
 def main():

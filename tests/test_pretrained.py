@@ -111,6 +111,68 @@ def test_cli_apply_pretrained_backbone(tmp_path):
         np.asarray(new.params["decoder_fc"]["kernel"]))
 
 
+def test_inception_artifact_filters_auxlogits_and_splices(tmp_path):
+    """torchvision's pretrained inception ships AuxLogits convs; the
+    converter must drop them or every splice rejects the artifact — and the
+    legacy Inception encoder must expose a 'backbone' subtree to receive it."""
+    import torch
+
+    from tests.torch_ref import TorchInception3
+    from visuelle2_tpu.models.inception import inception_params_from_torch
+    from visuelle2_tpu.models.legacy import LegacyImageEncoder
+
+    torch.manual_seed(0)
+    net = TorchInception3()
+    sd = dict(net.state_dict())
+    # Simulate aux_logits=True: classifier convs the backbone doesn't have.
+    sd["AuxLogits.conv0.conv.weight"] = torch.zeros(128, 768, 1, 1)
+    sd["AuxLogits.conv0.bn.weight"] = torch.zeros(128)
+    sd["AuxLogits.conv0.bn.bias"] = torch.zeros(128)
+    sd["AuxLogits.conv0.bn.running_mean"] = torch.zeros(128)
+    sd["AuxLogits.conv0.bn.running_var"] = torch.ones(128)
+    converted = inception_params_from_torch(sd)
+    assert "AuxLogits" not in converted["params"]
+    assert "AuxLogits" not in converted["batch_stats"]
+
+    path = str(tmp_path / "inc.npz")
+    save_variables(converted, path)
+    loaded = load_backbone_npz(path)
+
+    enc = LegacyImageEncoder(embedding_dim=8)
+    imgs = np.zeros((1, 299, 299, 3), np.uint8)
+    variables = enc.init({"params": jax.random.key(0)}, imgs)
+    spliced = splice_backbone(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, loaded)
+    out = enc.apply(jax.tree_util.tree_map(jnp.asarray, spliced), imgs)
+    assert out.shape == (1, 64, 8)
+
+
+def test_gtm_v1_accepts_pretrained_backbone(tmp_path):
+    """gtm_v1's fully-frozen tower is the model that needs the splice most;
+    its CNN child is named 'backbone' so the flag actually reaches it."""
+    import torch
+
+    from visuelle2_tpu.models.gtm_v1 import GTMv1
+
+    torch.manual_seed(0)
+    converted = params_from_torch(_tiny_resnet().state_dict(), arch="tiny")
+    batch = dict(_demand_batch())
+    batch["text_features"] = np.zeros((4, 768), np.float32)
+    model = GTMv1(embedding_dim=16, hidden_dim=16, output_len=12,
+                  image_arch="tiny")
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, batch, train=False)
+    spliced = splice_backbone(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, converted)
+    np.testing.assert_array_equal(
+        np.asarray(spliced["params"]["image_encoder"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(converted["params"]["conv1"]["kernel"]))
+    pred, _ = model.apply(spliced, batch, train=False)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
 def test_splice_rejects_mismatched_or_missing_backbone(tmp_path):
     import torch
 

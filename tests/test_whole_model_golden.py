@@ -998,7 +998,7 @@ def test_gtm_v1_whole_model_matches_torch():
     rn = _backbone_variables(cnn)
     variables = {
         "params": {
-            "image_encoder": rn["params"],
+            "image_encoder": {"backbone": rn["params"]},
             "text_fc": linear_params(text_fc),
             "dummy_encoder": dict(
                 {nm: linear_params(l)
@@ -1026,7 +1026,7 @@ def test_gtm_v1_whole_model_matches_torch():
             "decoder_fc": linear_params(decoder_fc),
         },
         "batch_stats": {
-            "image_encoder": rn["batch_stats"],
+            "image_encoder": {"backbone": rn["batch_stats"]},
             "static_feature_encoder": {"bn": _bn_params(fus_bn)[1]},
         },
     }

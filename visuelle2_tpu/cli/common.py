@@ -116,6 +116,33 @@ def apply_pretrained_backbone(state, args):
     return state.replace(params=cast, batch_stats=new_stats)
 
 
+def prepare_initial_state(trainer, loaders, args):
+    """Shared train-CLI prologue: pretrained-backbone splice and/or
+    resume-from-latest-epoch.  Returns ``(state_or_None, start_epoch)``."""
+    state = None
+    start_epoch = 0
+    if getattr(args, "pretrained_backbone", ""):
+        state = trainer.init_state(next(iter(loaders["train"])))
+        state = apply_pretrained_backbone(state, args)
+    if getattr(args, "resume_from", ""):
+        from visuelle2_tpu.train.checkpoint import CheckpointManager
+
+        if state is None:
+            state = trainer.init_state(next(iter(loaders["train"])))
+        src = CheckpointManager(args.resume_from)
+        resume_epoch = src.latest_step()
+        if resume_epoch is None:
+            src.close()
+            raise SystemExit(
+                f"--resume_from {args.resume_from}: no checkpoints found")
+        state = src.restore(state, step=resume_epoch)
+        src.close()
+        start_epoch = resume_epoch + 1
+        print(f"resumed from {args.resume_from} @ epoch {resume_epoch} "
+              f"(step {int(state.step)})")
+    return state, start_epoch
+
+
 class JsonlLogger:
     """Local metrics log; optionally mirrors to wandb when requested and the
     package is importable (flag-compatible with the reference's

@@ -17,6 +17,8 @@ from visuelle2_tpu.train.loop import Trainer, TrainConfig
 def run(args):
     print(args)
     demand = bool(args.demand)
+    if args.model == "gtm_v1" and not demand:
+        raise SystemExit("gtm_v1 is demand-only; use --demand 1")
     loaders, vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=args.output_len, splits=("test",),
         text_features=(args.model == "gtm_v1"))

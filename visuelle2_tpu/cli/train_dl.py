@@ -53,27 +53,11 @@ def run(args):
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=2)  # train_dl.py:156
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
-    state = None
-    start_epoch = 0
-    if getattr(args, "pretrained_backbone", ""):
-        from visuelle2_tpu.cli.common import apply_pretrained_backbone
+    # Pretrained-backbone splice and/or mid-training resume (the reference
+    # never wires ckpt_path into fit; we support both — SURVEY.md §5).
+    from visuelle2_tpu.cli.common import prepare_initial_state
 
-        state = trainer.init_state(next(iter(loaders["train"])))
-        state = apply_pretrained_backbone(state, args)
-    if args.resume_from:
-        # Mid-training resume (the reference never wires ckpt_path into fit;
-        # we support it — SURVEY.md §5 checkpoint/resume).  Restore the
-        # LATEST epoch and carry its index into fit so the run trains only
-        # the remaining epochs.
-        if state is None:
-            state = trainer.init_state(next(iter(loaders["train"])))
-        src = CheckpointManager(args.resume_from)
-        resume_epoch = src.latest_step()
-        state = src.restore(state, step=resume_epoch)
-        src.close()
-        start_epoch = (resume_epoch or 0) + 1
-        print(f"resumed from {args.resume_from} @ epoch {resume_epoch} "
-              f"(step {int(state.step)})")
+    state, start_epoch = prepare_initial_state(trainer, loaders, args)
 
     t0 = time.time()
     trainer.fit(loaders["train"], loaders["test"], state=state,

@@ -51,6 +51,9 @@ def make_model(args, vocab):
 def run(args):
     print(args)
     demand = bool(args.demand)
+    if args.model == "gtm_v1" and not demand:
+        raise SystemExit("gtm_v1 is demand-only (the original VISUELLE-1 GTM "
+                         "has no windowed stfore path); use --demand 1")
     loaders, vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=args.output_len,
         text_features=(args.model == "gtm_v1"))
@@ -62,23 +65,9 @@ def run(args):
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=1)
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
-    state = None
-    start_epoch = 0
-    if getattr(args, "pretrained_backbone", ""):
-        from visuelle2_tpu.cli.common import apply_pretrained_backbone
+    from visuelle2_tpu.cli.common import prepare_initial_state
 
-        state = trainer.init_state(next(iter(loaders["train"])))
-        state = apply_pretrained_backbone(state, args)
-    if args.resume_from:
-        if state is None:
-            state = trainer.init_state(next(iter(loaders["train"])))
-        src = CheckpointManager(args.resume_from)
-        resume_epoch = src.latest_step()
-        state = src.restore(state, step=resume_epoch)
-        src.close()
-        start_epoch = (resume_epoch or 0) + 1
-        print(f"resumed from {args.resume_from} @ epoch {resume_epoch} "
-              f"(step {int(state.step)})")
+    state, start_epoch = prepare_initial_state(trainer, loaders, args)
 
     t0 = time.time()
     trainer.fit(loaders["train"], loaders["test"], state=state,

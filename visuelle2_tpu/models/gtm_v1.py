@@ -60,6 +60,19 @@ class TextFeaturizer:
         self._bert = None
         if use_bert:
             try:
+                import os
+                import socket
+
+                # On a zero-egress host huggingface otherwise burns ~40 s in
+                # retry loops before erroring: probe DNS once (instant fail
+                # offline) and flip transformers into offline mode BEFORE its
+                # import (the flag is read at import time) so only the local
+                # cache is consulted.
+                try:
+                    socket.getaddrinfo("huggingface.co", 443)
+                except OSError:
+                    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+                    os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
                 from transformers import pipeline
 
                 self._bert = pipeline("feature-extraction", model="bert-base-uncased")
@@ -88,6 +101,23 @@ class TextFeaturizer:
             return np.stack([np.asarray(x[0][1:-1], np.float32).mean(axis=0)
                              for x in feats])
         return np.stack([self._hashed(t) for t in texts])
+
+
+class _FrozenImageTower(nn.Module):
+    """Fully-frozen CNN feature map (``GTM.py:155-175``).
+
+    The CNN child is named ``backbone`` like every other image encoder in
+    the framework, so ``--pretrained_backbone`` splices into gtm_v1 too —
+    the model whose accuracy depends on it most (nothing here finetunes)."""
+
+    arch: str
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = ResNetBackbone(STAGE_BLOCKS[self.arch], dtype=self.dtype,
+                               name="backbone")(x, train=False)
+        return jax.lax.stop_gradient(feats).astype(jnp.float32)
 
 
 class MemoryOnlyDecoderLayer(nn.Module):
@@ -166,9 +196,8 @@ class GTMv1(nn.Module):
 
         x = normalize_images(batch["images"], dtype=self.image_dtype)
         # Fully frozen backbone: always inference-mode BN, gradients stopped.
-        feats = ResNetBackbone(STAGE_BLOCKS[self.image_arch], dtype=self.image_dtype,
-                               name="image_encoder")(x, train=False)
-        feats = jax.lax.stop_gradient(feats).astype(jnp.float32)
+        feats = _FrozenImageTower(self.image_arch, dtype=self.image_dtype,
+                                  name="image_encoder")(x)
 
         dummy = DummyEmbedder(E, name="dummy_encoder")(
             batch["temporal"], deterministic=det)

@@ -184,6 +184,12 @@ def inception_params_from_torch(state_dict):
     for key in sd:
         if not key.endswith("conv.weight"):
             continue
+        if key.startswith("AuxLogits."):
+            # torchvision's pretrained inception_v3 ships with aux_logits
+            # classifier convs; the backbone (this module) has no AuxLogits
+            # subtree, so leaking them would make every splice reject the
+            # artifact on a structure mismatch.
+            continue
         prefix = key[: -len(".conv.weight")]  # e.g. Mixed_5b.branch1x1
         path = prefix.split(".")
         put(params, path + ["conv", "kernel"],

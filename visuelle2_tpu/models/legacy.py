@@ -49,7 +49,9 @@ class LegacyImageEncoder(nn.Module):
     @nn.compact
     def __call__(self, images_u8, *, train=False, deterministic=True):
         x = normalize_images(images_u8, dtype=self.dtype)
-        feats = InceptionV3Backbone(dtype=self.dtype, name="cnn")(
+        # Named "backbone" like every image encoder so --pretrained_backbone
+        # (models/pretrained.py splice) reaches the Inception weights too.
+        feats = InceptionV3Backbone(dtype=self.dtype, name="backbone")(
             x, train=train and self.fine_tune)
         if not self.fine_tune:
             feats = jax.lax.stop_gradient(feats)

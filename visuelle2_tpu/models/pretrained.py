@@ -60,16 +60,46 @@ def splice_backbone(variables: Dict[str, Any], backbone_variables: Dict[str, Any
     return new
 
 
-def load_backbone_npz(path: str) -> Dict[str, Any]:
-    """Load scripts/convert_pretrained.py's .npz into {'params', 'batch_stats'}."""
-    with np.load(path) as z:
-        flat = {k: z[k] for k in z.files}
-    out: Dict[str, Any] = {}
+# --------------------------------------------------------------- npz format
+# One flat npz; keys are '/'-joined paths with the collection ('params' /
+# 'batch_stats') as the first segment.  scripts/convert_pretrained.py writes
+# this format via these same helpers — keep the codec in one place.
+
+def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if hasattr(v, "items"):
+            flat.update(flatten_tree(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
     for key, v in flat.items():
-        coll, rest = key.split("/", 1)
-        node = out.setdefault(coll, {})
-        parts = rest.split("/")
+        node = tree
+        parts = key.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
-    return out
+    return tree
+
+
+def save_backbone_npz(variables: Dict[str, Any], path: str) -> None:
+    flat: Dict[str, np.ndarray] = {}
+    for coll, sub in variables.items():
+        flat.update(flatten_tree(sub, coll))
+    np.savez_compressed(path, **flat)
+
+
+def load_backbone_npz(path: str) -> Dict[str, Any]:
+    """Load a converted-backbone .npz back into {'params', 'batch_stats'}."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    grouped: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, v in flat.items():
+        coll, rest = key.split("/", 1)
+        grouped.setdefault(coll, {})[rest] = v
+    return {coll: unflatten_tree(sub) for coll, sub in grouped.items()}
