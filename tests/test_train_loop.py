@@ -110,6 +110,28 @@ def test_tensor_parallel_matches_replicated(synthetic_dataset):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_tensor_parallel_eval_matches_replicated(synthetic_dataset):
+    """Sharded-eval under a tensor-parallel mesh: the one-pass metrics from
+    a tp(4x2) state (params genuinely sharded over `model`) must equal the
+    replicated dp(8x1) metrics."""
+    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
+    model = build("m4ft", vocab=VOCAB, output_len=12, **SMALL_GTM)
+    batch = next(iter(train_loader))
+
+    tp = Trainer(model, TrainConfig(epochs=1, batch_size=16, tp_min_dim=8),
+                 mesh=make_mesh(data=4, model=2))
+    s_tp = tp.init_state(batch)
+    assert _model_sharded_leaves(s_tp.params)
+    m_tp = tp.evaluate(s_tp, val_loader)
+
+    dp = Trainer(model, TrainConfig(epochs=1, batch_size=16),
+                 mesh=make_mesh(data=8, model=1))
+    m_dp = dp.evaluate(dp.init_state(batch), val_loader)
+
+    assert m_tp["val_wWAPE"] == pytest.approx(m_dp["val_wWAPE"], rel=1e-4)
+    assert m_tp["val_mae"] == pytest.approx(m_dp["val_mae"], rel=1e-4)
+
+
 def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     """A resumed run must continue at the saved epoch, not restart at 0 and
     double-train: 2 epochs + resume-for-2-more == 4 total epochs of steps,
