@@ -1039,3 +1039,114 @@ def test_gtm_v1_whole_model_matches_torch():
     pred, attn = model.apply(variables, batch, train=False)
     assert attn is not None
     np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
+
+
+def test_gated_v4_autoregressive_whole_model_matches_torch():
+    """The AR decode mode (Proposed_model_v4.py:276-283): 12-token target
+    (position 0 = fused context), sinusoidal positions, causal mask,
+    Linear(H -> 1) head — only shape-tested until now."""
+    torch.manual_seed(29)
+    n, T = 4, 12
+    batch = _batch(n=n, demand=True)
+
+    cnn = _tiny_resnet().eval()
+    projection = torch.nn.Conv2d(2048, E, 1)
+    input_linear = torch.nn.Linear(3, E)
+    enc_layers = [torch.nn.TransformerEncoderLayer(E, 4, dropout=0.2).eval()
+                  for _ in range(2)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    dummy_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    dummy_fusion = torch.nn.Linear(4 * E, E)
+    img_gate = torch.nn.Linear(5 * E, E)
+    dummy_gate = torch.nn.Linear(5 * E, E)
+    fusion_fc = torch.nn.Linear(6 * E, E)
+    fusion_norm = torch.nn.LayerNorm(E)
+    dec_layer = torch.nn.TransformerDecoderLayer(E, 4, dim_feedforward=4 * E,
+                                                 dropout=0.1).eval()
+    decoder_fc = torch.nn.Linear(E, 1)  # AR: per-token scalar head
+
+    def sinusoid(max_len):
+        pe = torch.zeros(max_len, E)
+        position = torch.arange(0, max_len, dtype=torch.float).unsqueeze(1)
+        div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+        pe[:, 0::2] = torch.sin(position * div)
+        pe[:, 1::2] = torch.cos(position * div)
+        return pe
+
+    with torch.no_grad():
+        mask = torch.full((52, 52), float("-inf"))
+        for i in range(0, 52, 4):
+            mask[i:i + 4, i:i + 4] = 0.0
+        g = input_linear(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+        memory = g.permute(1, 0, 2) + sinusoid(52)[:, None, :]
+        for layer in enc_layers:
+            memory = layer(memory, src_mask=mask)
+
+        h_text = torch.stack([e(torch.tensor(batch[k].astype(np.int64)))
+                              for e, k in zip(embs, ("cat", "col", "fab",
+                                                     "store"))], dim=1)
+        feats = cnn(_normalized_images(batch["images"]))
+        h_img = projection(feats).mean(dim=(2, 3))
+        d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                       for i, l in enumerate(dummy_lins)], dim=1)
+        h_dummy = dummy_fusion(d)
+        h_sales = sales_gru(torch.zeros(n, 2, 1))[0][:, -1, :]
+        text_flat = h_text.reshape(n, -1)
+        gi = torch.sigmoid(img_gate(torch.cat([text_flat, h_img], 1)))
+        gd = torch.sigmoid(dummy_gate(torch.cat([text_flat, h_dummy], 1)))
+        fused = torch.cat([h_img + h_img * gi, text_flat,
+                           h_dummy + h_dummy * gd], 1)
+        static_ctx = torch.relu(fusion_norm(fusion_fc(fused)))
+
+        # AR decode (:276-283): tgt[0] = decoder_input, + positions, causal.
+        tgt = torch.zeros(T, n, E)
+        tgt[0] = h_sales + static_ctx
+        tgt = tgt + sinusoid(T)[:, None, :]
+        causal = torch.triu(torch.full((T, T), float("-inf")), diagonal=1)
+        out = dec_layer(tgt, memory, tgt_mask=causal)
+        t_pred = decoder_fc(out)[..., 0].transpose(0, 1).reshape(n, T).numpy()
+
+    rn = _backbone_variables(cnn)
+    variables = {
+        "params": {
+            "gtrend_encoder": {
+                "input_linear": linear_params(input_linear),
+                "encoder": {f"layer{i}": encoder_layer_params(l)
+                            for i, l in enumerate(enc_layers)},
+            },
+            "text_encoder": {nm: _embedding_params(e)
+                             for nm, e in zip(("cat", "col", "fab", "store"),
+                                              embs)},
+            "image_encoder": {
+                "backbone": rn["params"],
+                "projection": {
+                    "kernel": np.transpose(t2n(projection.weight), (2, 3, 1, 0)),
+                    "bias": t2n(projection.bias)},
+            },
+            "dummy_encoder": dict(
+                {nm: linear_params(l)
+                 for nm, l in zip(("day", "week", "month", "year"),
+                                  dummy_lins)},
+                fusion=linear_params(dummy_fusion)),
+            "sales_encoder": {"gru": gru_params(sales_gru)},
+            "fusion": {
+                "img_gate_fc": linear_params(img_gate),
+                "dummy_gate_fc": linear_params(dummy_gate),
+                "fusion_fc": linear_params(fusion_fc),
+                "fusion_norm": {"scale": t2n(fusion_norm.weight),
+                                "bias": t2n(fusion_norm.bias)},
+            },
+            "decoder": {"layer0": decoder_layer_params(dec_layer)},
+            "decoder_fc": linear_params(decoder_fc),
+        },
+        "batch_stats": {"image_encoder": {"backbone": rn["batch_stats"]}},
+    }
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    model = build("gated_v4", vocab=VOCAB, output_len=T, autoregressive=True,
+                  embedding_dim=E, hidden_dim=E, image_arch="tiny")
+    pred, _ = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(pred), t_pred, atol=1e-4, rtol=1e-4)
