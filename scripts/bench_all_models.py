@@ -46,6 +46,10 @@ CONFIGS = {
     "cross_attn_rnn_demand": (dict(out_len=12, use_teacher_forcing=False),
                               lambda s: _synthetic_batch(BATCH, IMAGE, s)),
     "gtm": (dict(output_len=12), lambda s: _synthetic_batch(BATCH, IMAGE, s)),
+    "m4ft": (dict(output_len=12), lambda s: _synthetic_batch(BATCH, IMAGE, s)),
+    # gated_v2 exercises the head-specific/pure gated attention paths at
+    # production dims on hardware (Mosaic/XLA compile regression coverage).
+    "gated_v2": (dict(output_len=12), lambda s: _synthetic_batch(BATCH, IMAGE, s)),
     "gated_v4": (dict(output_len=12), lambda s: _synthetic_batch(BATCH, IMAGE, s)),
 }
 
