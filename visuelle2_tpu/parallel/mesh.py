@@ -33,8 +33,13 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard axis 0 (batch/items) over the data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Shard axis 0 (batch/items) over every non-model axis.
+
+    On the standard ``(data, model)`` mesh this is ``P('data')``; on a hybrid
+    ``(dcn, data, model)`` mesh (parallel/distributed.py) the batch axis
+    spans processes × local devices."""
+    axes = tuple(ax for ax in mesh.axis_names if ax != "model")
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -30,6 +30,7 @@ from flax import core, struct
 
 from visuelle2_tpu.data.loader import BatchLoader
 from visuelle2_tpu.ops.metrics import eval_metrics, finalize_metrics
+from visuelle2_tpu.parallel.distributed import global_batch
 from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from visuelle2_tpu.parallel.sharding import infer_param_sharding
 from visuelle2_tpu.train import optim as optim_lib
@@ -122,8 +123,13 @@ class Trainer:
                 "dropout": jax.random.key(self.config.seed + 1),
                 "sampling": jax.random.key(self.config.seed + 2)}
         init_closure = lambda r, b: self.model.init(r, b, train=False)
+        multiprocess = jax.process_count() > 1
+        if multiprocess:
+            # Each process holds only its local batch rows; assemble the
+            # logical global batch before tracing (parallel/distributed.py).
+            example_batch = global_batch(example_batch, self._batch_sharding)
         tp = self.mesh.shape.get("model", 1) > 1
-        if tp:
+        if tp or multiprocess:
             # Tensor parallel: wide kernels column-shard over ``model``
             # (parallel/sharding.py), everything else replicates.  Shardings
             # are computed on abstract shapes and applied as jit
@@ -145,7 +151,7 @@ class Trainer:
         batch_stats = variables.get("batch_stats", core.FrozenDict())
         tx = optim_lib.make_optimizer(params, self.config.grad_clip,
                                       self.config.learning_rate)
-        if tp:
+        if tp or multiprocess:
             # Optimizer state inherits shardings from the (committed) params
             # through XLA propagation; Adafactor's factored row/col stats end
             # up sharded wherever the reduced kernel dim stays sharded.
@@ -210,13 +216,13 @@ class Trainer:
     def train_step(self, state, batch, rng):
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        batch = jax.device_put(batch, self._batch_sharding)
+        batch = global_batch(batch, self._batch_sharding)
         return self._train_step(state, batch, rng)
 
     def eval_step(self, state, batch):
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        batch = jax.device_put(batch, self._batch_sharding)
+        batch = global_batch(batch, self._batch_sharding)
         return self._eval_step(state.params, state.batch_stats, batch)
 
     def evaluate(self, state, loader: BatchLoader) -> Dict[str, float]:
