@@ -51,12 +51,16 @@ def add_common_args(p: argparse.ArgumentParser):
 
 def build_loaders(args, *, demand: bool, output_len: int,
                   splits=("train", "test"),
-                  text_features: bool = False) -> Tuple[dict, VocabSizes, float]:
+                  text_features: bool = False,
+                  dedup_eval_images: bool = False) -> Tuple[dict, VocabSizes, float]:
     """Returns ({split: BatchLoader}, vocab, norm_scalar).
 
     ``text_features=True`` runs the gtm_v1 ingest-time text featurizer
     (frozen BERT, or the deterministic crc32 fallback under zero egress) over
-    each split and attaches the [N, 768] array as a batch extra."""
+    each split and attaches the [N, 768] array as a batch extra.
+    ``dedup_eval_images`` makes non-train loaders ship unique-image batches
+    (loader.py dedup_images) — identical outputs, backbone FLOPs divided by
+    the product-photo duplication factor."""
     cat_dict, col_dict, fab_dict = load_label_dicts(args.dataset_path)
     vocab = VocabSizes.from_dicts(cat_dict, col_dict, fab_dict)
     norm_scalar = load_norm_scalar(args.dataset_path)
@@ -81,10 +85,17 @@ def build_loaders(args, *, demand: bool, output_len: int,
         if featurizer is not None:
             extras = {"text_features": featurizer(
                 arrays.cat, arrays.col, arrays.fab).astype(np.float32)}
+        dedup = dedup_eval_images and split != "train"
+        if dedup:
+            import jax
+
+            slots_multiple = jax.device_count()
         loaders[split] = BatchLoader(
             arrays, store, args.batch_size,
             shuffle=(split == "train"), seed=args.seed,
-            drop_remainder=(split == "train"), extras=extras)
+            drop_remainder=(split == "train"), extras=extras,
+            dedup_images=dedup,
+            image_slots_multiple=slots_multiple if dedup else 1)
     return loaders, vocab, norm_scalar
 
 

@@ -26,7 +26,8 @@ def run(args):
     demand = bool(args.new_product)
     output_len = 12 if demand else (10 if args.task_mode == 1 else 1)
     loaders, vocab, norm_scalar = build_loaders(
-        args, demand=demand, output_len=output_len, splits=("test",))
+        args, demand=demand, output_len=output_len, splits=("test",),
+        dedup_eval_images=bool(getattr(args, "dedup_images", 1)))
 
     dims = dict(attention_dim=args.attention_dim,
                 embedding_dim=args.embedding_dim, hidden_dim=args.hidden_dim,
@@ -78,6 +79,9 @@ def build_parser():
     p.add_argument("--task_mode", type=int, default=0, help="0->2-1, 1->2-10")
     p.add_argument("--ckpt_path", type=str, default="",
                    help="checkpoint directory written by train_dl")
+    p.add_argument("--dedup_images", type=int, default=1,
+                   help="encode each unique product photo once per batch "
+                        "(identical outputs; FLOPs / duplication factor)")
     p.add_argument("--one_pass", action="store_true",
                    help="score the whole split in one jitted scan dispatch")
     return p

@@ -21,7 +21,8 @@ def run(args):
         raise SystemExit("gtm_v1 is demand-only; use --demand 1")
     loaders, vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=args.output_len, splits=("test",),
-        text_features=(args.model == "gtm_v1"))
+        text_features=(args.model == "gtm_v1"),
+        dedup_eval_images=bool(getattr(args, "dedup_images", 1)))
     model = make_model(args, vocab)
 
     trainer = Trainer(model, TrainConfig(norm_scalar=norm_scalar))
@@ -51,6 +52,9 @@ def build_parser(default_model="gtm"):
 
     p = train_parser(default_model)
     p.add_argument("--ckpt_path", type=str, default="")
+    p.add_argument("--dedup_images", type=int, default=1,
+                   help="encode each unique product photo once per batch "
+                        "(identical outputs; FLOPs / duplication factor)")
     p.add_argument("--one_pass", action="store_true",
                    help="score the whole split in one jitted scan dispatch")
     return p

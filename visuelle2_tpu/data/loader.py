@@ -38,13 +38,34 @@ class BatchLoader:
     def __init__(self, arrays: Visuelle2Arrays, images: Optional[ImageStore],
                  batch_size: int, *, shuffle: bool = False, seed: int = 21,
                  drop_remainder: bool = False, native_prefetch: bool = True,
-                 extras: Optional[Dict[str, np.ndarray]] = None):
+                 extras: Optional[Dict[str, np.ndarray]] = None,
+                 dedup_images: bool = False, image_slots_multiple: int = 1):
         self.arrays = arrays
         self.images = images
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
+        # Unique-image batches (eval/serving): VISUELLE2 rows are per
+        # (product, store) and share product photos, so a batch of B rows
+        # covers far fewer than B distinct images.  With dedup_images the
+        # loader orders rows by image, ships each batch's UNIQUE images in a
+        # fixed number of slots plus an ``img_idx`` row->slot map, and the
+        # model encodes each image once (encoders gather features by
+        # img_idx).  Outputs are numerically identical; backbone FLOPs drop
+        # by the duplication factor.  ``image_slots_multiple`` rounds the
+        # slot count up so the image axis stays divisible by the mesh's data
+        # axis when sharded.
+        self.dedup_images = bool(dedup_images and images is not None)
+        self.image_slots = 0
+        if self.dedup_images:
+            assert not shuffle, "dedup_images is an eval-order feature"
+            self._dedup_order = np.argsort(images.row_to_img, kind="stable")
+            blocks = self._split_blocks(self._dedup_order)
+            slots = max((len(np.unique(images.image_indices(b)))
+                         for b in blocks), default=1)
+            m = max(1, int(image_slots_multiple))
+            self.image_slots = -(-slots // m) * m
         # Per-item side arrays gathered/padded alongside the batch (e.g.
         # gtm_v1's ingest-time text_features [N, 768]).
         self.extras = extras or {}
@@ -92,25 +113,41 @@ class BatchLoader:
 
     def _gather(self, idx: np.ndarray, pad_to: int) -> Batch:
         batch = self._gather_no_images(idx, pad_to)
-        if self.images is not None:
+        if self.images is None:
+            return batch
+        if self.dedup_images:
+            uniq, inv = np.unique(self.images.image_indices(idx),
+                                  return_inverse=True)
+            batch["images"] = _pad_to(self.images.pixels[uniq], self.image_slots)
+            img_idx = np.zeros(pad_to, np.int32)
+            img_idx[: len(inv)] = inv.astype(np.int32)
+            batch["img_idx"] = img_idx
+        else:
             batch["images"] = _pad_to(self.images.gather(idx), pad_to)
         return batch
 
+    def _split_blocks(self, order: np.ndarray):
+        n = len(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
+        return [order[s: s + self.batch_size] for s in range(0, stop, self.batch_size)]
+
     def _epoch_index_blocks(self):
-        n = len(self.arrays)
-        order = np.arange(n)
+        if self.dedup_images:
+            return self._split_blocks(self._dedup_order)
+        order = np.arange(len(self.arrays))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
             self._epoch += 1
-        stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
-        return [order[s: s + self.batch_size] for s in range(0, stop, self.batch_size)]
+        return self._split_blocks(order)
 
     def __iter__(self) -> Iterator[Batch]:
         blocks = self._epoch_index_blocks()
         if not blocks:
             return
-        if self._engine is None or self.images is None:
+        # Deduped batches gather only the unique images — too small to be
+        # worth the native double-buffer path.
+        if self._engine is None or self.images is None or self.dedup_images:
             for idx in blocks:
                 yield self._gather(idx, self.batch_size)
             return

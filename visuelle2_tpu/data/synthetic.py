@@ -26,8 +26,14 @@ NUM_STORES = 125  # reference train_dl.py:110 (store_num=125)
 
 def make_synthetic_dataset(path: str, *, num_train: int = 64, num_test: int = 32,
                            image_size: int = 32, seed: int = 0,
-                           write_images: bool = True) -> str:
-    """Create a synthetic dataset at ``path`` and return it."""
+                           write_images: bool = True,
+                           rows_per_image: int = 1) -> str:
+    """Create a synthetic dataset at ``path`` and return it.
+
+    ``rows_per_image > 1`` makes consecutive rows share one product photo —
+    the real VISUELLE2 structure (rows are per (product, store); ~100+ stores
+    share each product's image), used to exercise/measure the unique-image
+    dedup path (data/loader.py dedup_images)."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(path, "images"), exist_ok=True)
 
@@ -66,11 +72,12 @@ def make_synthetic_dataset(path: str, *, num_train: int = 64, num_test: int = 32
         oversold = rng.random(n) < 0.2
         restock[oversold] = np.maximum(1, sales[oversold, :6].sum(axis=1))
 
-        img_paths = [f"{split}_{offset + i}.jpg" for i in range(n)]
+        img_paths = [f"{split}_{offset + i // rows_per_image}.jpg"
+                     for i in range(n)]
         if write_images:
             from PIL import Image
 
-            for i, rel in enumerate(img_paths):
+            for rel in dict.fromkeys(img_paths):
                 arr = rng.integers(0, 255, (image_size, image_size, 3), dtype=np.uint8)
                 Image.fromarray(arr).save(os.path.join(path, "images", rel), quality=85)
 

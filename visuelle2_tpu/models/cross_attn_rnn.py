@@ -62,7 +62,8 @@ class _StaticEncodings(nn.Module):
             img_encoding = ImagePatchEncoder(
                 E, arch=self.image_arch, dtype=self.image_dtype,
                 name="image_encoder")(
-                batch["images"], train=train, deterministic=det)
+                batch["images"], train=train, deterministic=det,
+                img_idx=batch.get("img_idx"))
         # gtrends [B, 3, 52] -> GRU over time with 3 trend channels.
         gtrend_encoding = TSEmbedder(E, name="trend_encoder")(
             jnp.swapaxes(batch["gtrends"], 1, 2), deterministic=det)

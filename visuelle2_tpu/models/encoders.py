@@ -178,14 +178,20 @@ class ImagePatchEncoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, images_u8, *, train=False, deterministic=True):
+    def __call__(self, images_u8, *, train=False, deterministic=True,
+                 img_idx=None):
         x = normalize_images(images_u8, dtype=self.dtype)
         feats = ResNetBackbone(STAGE_BLOCKS[self.arch], dtype=self.dtype,
                                remat=self.remat, name="backbone")(x, train=train)
         B, H, W, C = feats.shape
         patches = feats.reshape(B, H * W, C).astype(jnp.float32)
         out = nn.Dense(self.embedding_dim, name="fc")(patches)
-        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        if img_idx is not None:
+            # Unique-image batch (loader dedup_images): encode each image
+            # once, expand features to rows by gather.
+            out = jnp.take(out, img_idx, axis=0)
+        return out
 
 
 class ImagePooledEncoder(nn.Module):
@@ -199,7 +205,8 @@ class ImagePooledEncoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, images_u8, *, train=False, deterministic=True):
+    def __call__(self, images_u8, *, train=False, deterministic=True,
+                 img_idx=None):
         x = normalize_images(images_u8, dtype=self.dtype)
         feats = ResNetBackbone(STAGE_BLOCKS[self.arch], dtype=self.dtype,
                                remat=self.remat, name="backbone")(x, train=train)
@@ -208,6 +215,8 @@ class ImagePooledEncoder(nn.Module):
         pooled = proj.mean(axis=(1, 2)).astype(jnp.float32)
         if self.final_dim is not None:
             pooled = nn.Dense(self.final_dim, name="final_proj")(pooled)
+        if img_idx is not None:
+            pooled = jnp.take(pooled, img_idx, axis=0)
         return pooled
 
 

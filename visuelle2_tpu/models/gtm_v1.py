@@ -198,6 +198,9 @@ class GTMv1(nn.Module):
         # Fully frozen backbone: always inference-mode BN, gradients stopped.
         feats = _FrozenImageTower(self.image_arch, dtype=self.image_dtype,
                                   name="image_encoder")(x)
+        if batch.get("img_idx") is not None:
+            # Unique-image batch (loader dedup_images): expand to rows.
+            feats = jnp.take(feats, batch["img_idx"], axis=0)
 
         dummy = DummyEmbedder(E, name="dummy_encoder")(
             batch["temporal"], deterministic=det)

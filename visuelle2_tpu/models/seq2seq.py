@@ -142,7 +142,8 @@ class Seq2SeqForecaster(nn.Module):
                 h_img = ImagePooledEncoder(
                     E, arch=self.image_arch, dtype=self.image_dtype,
                     name="image_encoder")(
-                    batch["images"], train=train, deterministic=det)
+                    batch["images"], train=train, deterministic=det,
+                    img_idx=batch.get("img_idx"))
             h_dummy = DummyEmbedder(E, name="dummy_encoder")(
                 batch["temporal"], deterministic=det)
         else:  # m4ft: everything projected to hidden_dim
@@ -157,7 +158,8 @@ class Seq2SeqForecaster(nn.Module):
                 h_img = ImagePooledEncoder(
                     E, final_dim=H, arch=self.image_arch, dtype=self.image_dtype,
                     name="image_encoder")(
-                    batch["images"], train=train, deterministic=det)
+                    batch["images"], train=train, deterministic=det,
+                    img_idx=batch.get("img_idx"))
             h_dummy = TemporalEmbedder(E, H, name="temporal_encoder")(
                 batch["temporal"], deterministic=det)
 
