@@ -19,6 +19,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: do NOT enable jax_compilation_cache_dir here.  Tried as a suite-time
+# optimization; on this host XLA:CPU AOT cache entries load with mismatched
+# machine-feature sets across processes ("+prefer-no-scatter is not
+# supported on the host machine ... could lead to execution errors such as
+# SIGILL") and produced silently WRONG numerics (row-shifted model outputs
+# in test_export.py).  Compile time is the price of correctness.
 
 import numpy as np
 import pytest

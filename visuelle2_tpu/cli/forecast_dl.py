@@ -57,6 +57,12 @@ def run(args):
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+    if getattr(args, "export", ""):
+        from visuelle2_tpu.eval.export import export_forecaster
+
+        size = export_forecaster(model, variables,
+                                 next(iter(loaders["test"])), args.export)
+        print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
     result = score_split(model, variables, loaders["test"],
                          norm_scalar=norm_scalar,
                          one_pass=bool(getattr(args, "one_pass", False)))
@@ -79,6 +85,8 @@ def build_parser():
     p.add_argument("--task_mode", type=int, default=0, help="0->2-1, 1->2-10")
     p.add_argument("--ckpt_path", type=str, default="",
                    help="checkpoint directory written by train_dl")
+    p.add_argument("--export", type=str, default="",
+                   help="write a self-contained StableHLO serving artifact")
     p.add_argument("--dedup_images", type=int, default=1,
                    help="encode each unique product photo once per batch "
                         "(identical outputs; FLOPs / duplication factor)")

@@ -38,6 +38,12 @@ def run(args):
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+    if getattr(args, "export", ""):
+        from visuelle2_tpu.eval.export import export_forecaster
+
+        size = export_forecaster(model, variables,
+                                 next(iter(loaders["test"])), args.export)
+        print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
     result = score_split(model, variables, loaders["test"],
                          norm_scalar=norm_scalar,
                          one_pass=bool(getattr(args, "one_pass", False)))
@@ -52,6 +58,8 @@ def build_parser(default_model="gtm"):
 
     p = train_parser(default_model)
     p.add_argument("--ckpt_path", type=str, default="")
+    p.add_argument("--export", type=str, default="",
+                   help="write a self-contained StableHLO serving artifact")
     p.add_argument("--dedup_images", type=int, default=1,
                    help="encode each unique product photo once per batch "
                         "(identical outputs; FLOPs / duplication factor)")

@@ -1,0 +1,79 @@
+"""Serving export: a trained forecaster as one self-contained artifact.
+
+The reference has no deployment story — serving it means dragging the whole
+training repo plus torch/lightning/torchvision into production.  Here a
+trained model exports to a single StableHLO artifact via ``jax.export``:
+weights are baked in as constants, the input signature is the standard batch
+dict (uint8 images in, forecasts out), and the artifact reloads and executes
+with nothing but jax installed — on TPU, CPU, or GPU, independent of this
+package's model code.  Rescaling by the norm scalar and metric computation
+stay downstream (``forecast_dl.py:176-198`` semantics), so the artifact's
+outputs are the model-space forecasts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Tuple
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+# Artifact layout: a 16-byte length-prefixed JSON header (batch-key order and
+# version) followed by the serialized StableHLO module.
+_MAGIC = b"V2TPUEXPORT1"
+
+
+def export_forecaster(model, variables, example_batch: Dict[str, np.ndarray],
+                      path: str, platforms=("cpu", "tpu")) -> int:
+    """Serialize ``model.apply(variables, batch, train=False)`` to ``path``.
+
+    Weights are closed over (baked into the module); the exported callable
+    takes the batch dict's arrays in sorted-key order.  The module is lowered
+    for every platform in ``platforms`` so one artifact serves TPU fleets and
+    CPU canaries alike.  Returns the artifact size in bytes.
+    """
+    keys = sorted(example_batch.keys())
+
+    def forecast(*arrays):
+        batch = dict(zip(keys, arrays))
+        out, _aux = model.apply(variables, batch, train=False)
+        return out
+
+    args = tuple(jax.numpy.asarray(example_batch[k]) for k in keys)
+    exported = jax_export.export(jax.jit(forecast),
+                                 platforms=list(platforms))(*args)
+    blob = exported.serialize()
+    header = json.dumps({"keys": keys, "version": 1}).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+    return os.path.getsize(path)
+
+
+def load_forecaster(path: str) -> Tuple[Callable[[Dict[str, np.ndarray]], jax.Array], dict]:
+    """Load an exported artifact; returns ``(forecast_fn, header)``.
+
+    ``forecast_fn`` takes the same batch dict the model was exported with
+    (shapes/dtypes must match — serving batches are padded to the export
+    batch size, exactly like the training loader pads its tail batch).
+    """
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        assert magic == _MAGIC, f"not a visuelle2_tpu export: {path}"
+        n = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(n).decode())
+        blob = f.read()
+    exported = jax_export.deserialize(blob)
+    keys = header["keys"]
+
+    def forecast_fn(batch: Dict[str, np.ndarray]) -> jax.Array:
+        missing = set(keys) - set(batch)
+        assert not missing, f"batch missing keys: {sorted(missing)}"
+        return exported.call(*(batch[k] for k in keys))
+
+    return forecast_fn, header
