@@ -34,10 +34,24 @@ def test_train_then_forecast_dl_cli(synthetic_dataset, tmp_path):
         "--embedding_dim", "16", "--attention_dim", "16", "--hidden_dim", "16",
         "--image_arch", "tiny", "--image_size", "32",
         "--ckpt_path", str(tmp_path / "ckpt21"),
+        "--export", str(tmp_path / "model.v2tpu"),
     ])
     result = forecast_dl.run(fc_args)
     assert np.isfinite(result.wape) and np.isfinite(result.mae)
     assert result.forecasts_per_sec_per_chip > 0
+
+    # Serving: the exported artifact alone reproduces the checkpoint's
+    # metrics (no model code / checkpoint restore on the serve side).
+    from visuelle2_tpu.cli import serve
+
+    sv = serve.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--output_len", "1",
+        "--batch_size", "16", "--image_arch", "tiny", "--image_size", "32",
+        "--artifact", str(tmp_path / "model.v2tpu"),
+    ])
+    served = serve.run(sv)
+    np.testing.assert_allclose(served["wape"], result.wape, rtol=1e-4)
+    np.testing.assert_allclose(served["mae"], result.mae, rtol=1e-4)
 
 
 def test_train_then_forecast_transformer_cli(synthetic_dataset, tmp_path):

@@ -52,7 +52,8 @@ def add_common_args(p: argparse.ArgumentParser):
 def build_loaders(args, *, demand: bool, output_len: int,
                   splits=("train", "test"),
                   text_features: bool = False,
-                  dedup_eval_images: bool = False) -> Tuple[dict, VocabSizes, float]:
+                  dedup_eval_images: bool = False,
+                  dedup_train_images: bool = False) -> Tuple[dict, VocabSizes, float]:
     """Returns ({split: BatchLoader}, vocab, norm_scalar).
 
     ``text_features=True`` runs the gtm_v1 ingest-time text featurizer
@@ -60,7 +61,10 @@ def build_loaders(args, *, demand: bool, output_len: int,
     each split and attaches the [N, 768] array as a batch extra.
     ``dedup_eval_images`` makes non-train loaders ship unique-image batches
     (loader.py dedup_images) — identical outputs, backbone FLOPs divided by
-    the product-photo duplication factor."""
+    the product-photo duplication factor.  ``dedup_train_images`` does the
+    same for the train loader via the grouped-shuffle sampler (per-row loss
+    and gradients unchanged; train-mode BatchNorm weights each unique photo
+    once — see loader.py)."""
     cat_dict, col_dict, fab_dict = load_label_dicts(args.dataset_path)
     vocab = VocabSizes.from_dicts(cat_dict, col_dict, fab_dict)
     norm_scalar = load_norm_scalar(args.dataset_path)
@@ -85,7 +89,7 @@ def build_loaders(args, *, demand: bool, output_len: int,
         if featurizer is not None:
             extras = {"text_features": featurizer(
                 arrays.cat, arrays.col, arrays.fab).astype(np.float32)}
-        dedup = dedup_eval_images and split != "train"
+        dedup = dedup_train_images if split == "train" else dedup_eval_images
         if dedup:
             import jax
 

@@ -60,9 +60,9 @@ def build_parser(default_model="gtm"):
     p.add_argument("--ckpt_path", type=str, default="")
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
-    p.add_argument("--dedup_images", type=int, default=1,
-                   help="encode each unique product photo once per batch "
-                        "(identical outputs; FLOPs / duplication factor)")
+    # --dedup_images comes from the train parser (default 0 there); eval
+    # dedup is identical-output, so it defaults ON for forecasting.
+    p.set_defaults(dedup_images=1)
     p.add_argument("--one_pass", action="store_true",
                    help="score the whole split in one jitted scan dispatch")
     return p

@@ -26,7 +26,9 @@ def run(args):
     demand = bool(args.demand)
     output_len = 12 if demand else args.output_len
     loaders, vocab, norm_scalar = build_loaders(
-        args, demand=demand, output_len=output_len)
+        args, demand=demand, output_len=output_len,
+        dedup_train_images=bool(getattr(args, "dedup_images", 0)),
+        dedup_eval_images=True)  # identical outputs; faster per-epoch val
     print(f"Completed dataset loading procedure. Train batches: "
           f"{len(loaders['train'])}, test batches: {len(loaders['test'])}")
 
@@ -81,6 +83,10 @@ def build_parser():
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--use_teacher_forcing", action="store_true")
     p.add_argument("--teacher_forcing_ratio", type=float, default=0.5)
+    p.add_argument("--dedup_images", type=int, default=0,
+                   help="grouped-shuffle training batches encoding each "
+                        "unique product photo once (FLOPs / duplication "
+                        "factor; BatchNorm stats weight unique photos)")
     p.add_argument("--ckpt_dir", type=str, default="ckpt_CrossAttnRNN210/")
     p.add_argument("--resume_from", type=str, default="",
                    help="checkpoint directory to resume training from")

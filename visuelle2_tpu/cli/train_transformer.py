@@ -56,7 +56,9 @@ def run(args):
                          "has no windowed stfore path); use --demand 1")
     loaders, vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=args.output_len,
-        text_features=(args.model == "gtm_v1"))
+        text_features=(args.model == "gtm_v1"),
+        dedup_train_images=bool(getattr(args, "dedup_images", 0)),
+        dedup_eval_images=True)  # identical outputs; faster per-epoch val
     model = make_model(args, vocab)
 
     trainer = Trainer(model, TrainConfig(
@@ -96,6 +98,10 @@ def build_parser(default_model="gtm"):
     p.add_argument("--autoregressive", type=int, default=0)
     p.add_argument("--query_modality", type=str, default="text",
                    choices=["text", "image", "temporal"])
+    p.add_argument("--dedup_images", type=int, default=0,
+                   help="grouped-shuffle training batches encoding each "
+                        "unique product photo once (FLOPs / duplication "
+                        "factor; BatchNorm stats weight unique photos)")
     p.add_argument("--resume_from", type=str, default="",
                    help="checkpoint directory to resume training from")
     return p

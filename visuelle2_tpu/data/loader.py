@@ -46,24 +46,46 @@ class BatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
-        # Unique-image batches (eval/serving): VISUELLE2 rows are per
-        # (product, store) and share product photos, so a batch of B rows
-        # covers far fewer than B distinct images.  With dedup_images the
-        # loader orders rows by image, ships each batch's UNIQUE images in a
-        # fixed number of slots plus an ``img_idx`` row->slot map, and the
-        # model encodes each image once (encoders gather features by
-        # img_idx).  Outputs are numerically identical; backbone FLOPs drop
-        # by the duplication factor.  ``image_slots_multiple`` rounds the
-        # slot count up so the image axis stays divisible by the mesh's data
-        # axis when sharded.
+        # Unique-image batches: VISUELLE2 rows are per (product, store) and
+        # share product photos, so a batch of B rows covers far fewer than B
+        # distinct images.  With dedup_images the loader orders rows by
+        # image, ships each batch's UNIQUE images in a fixed number of slots
+        # plus an ``img_idx`` row->slot map, and the model encodes each image
+        # once (encoders gather features by img_idx).  Outputs are
+        # numerically identical; backbone FLOPs drop by the duplication
+        # factor.  ``image_slots_multiple`` rounds the slot count up so the
+        # image axis stays divisible by the mesh's data axis when sharded.
+        #
+        # With ``shuffle=True`` (training) each epoch permutes the *group*
+        # order (rows sharing a photo stay contiguous) and the rows within
+        # each group — a grouped sampler, vs the reference's uniform row
+        # shuffle (train_dl.py:84).  Per-row losses and the gather's
+        # scatter-add gradients are exactly those of the duplicate-encode
+        # batch; the one numerical deviation is train-mode BatchNorm, whose
+        # batch statistics weight each unique photo once instead of by its
+        # multiplicity.  Opt-in on the train CLIs for that reason.
         self.dedup_images = bool(dedup_images and images is not None)
         self.image_slots = 0
         if self.dedup_images:
-            assert not shuffle, "dedup_images is an eval-order feature"
             self._dedup_order = np.argsort(images.row_to_img, kind="stable")
-            blocks = self._split_blocks(self._dedup_order)
-            slots = max((len(np.unique(images.image_indices(b)))
-                         for b in blocks), default=1)
+            if shuffle:
+                # Static slot count must hold for every possible group
+                # permutation: a window of B consecutive rows over contiguous
+                # groups intersects at most 2 boundary groups plus however
+                # many of the smallest groups fit fully in the remaining
+                # B - 2 rows.
+                sizes = np.sort(np.bincount(images.row_to_img))
+                sizes = sizes[sizes > 0]
+                interior = int(np.searchsorted(np.cumsum(sizes),
+                                               batch_size - 2, side="right"))
+                slots = min(len(sizes), batch_size, interior + 2)
+                split = np.split(self._dedup_order, np.unique(
+                    images.row_to_img[self._dedup_order], return_index=True)[1][1:])
+                self._groups = split
+            else:
+                blocks = self._split_blocks(self._dedup_order)
+                slots = max((len(np.unique(images.image_indices(b)))
+                             for b in blocks), default=1)
             m = max(1, int(image_slots_multiple))
             self.image_slots = -(-slots // m) * m
         # Per-item side arrays gathered/padded alongside the batch (e.g.
@@ -118,7 +140,15 @@ class BatchLoader:
         if self.dedup_images:
             uniq, inv = np.unique(self.images.image_indices(idx),
                                   return_inverse=True)
-            batch["images"] = _pad_to(self.images.pixels[uniq], self.image_slots)
+            assert len(uniq) <= self.image_slots, (len(uniq), self.image_slots)
+            if len(uniq) < self.image_slots:
+                # Fill spare slots with cyclic repeats of the batch's real
+                # images, not zeros: their features are never gathered
+                # (img_idx only addresses real slots), but train-mode
+                # BatchNorm statistics run over every slot and must stay
+                # in-distribution.
+                uniq = uniq[np.resize(np.arange(len(uniq)), self.image_slots)]
+            batch["images"] = self.images.pixels[uniq]
             img_idx = np.zeros(pad_to, np.int32)
             img_idx[: len(inv)] = inv.astype(np.int32)
             batch["img_idx"] = img_idx
@@ -133,7 +163,14 @@ class BatchLoader:
 
     def _epoch_index_blocks(self):
         if self.dedup_images:
-            return self._split_blocks(self._dedup_order)
+            if not self.shuffle:
+                return self._split_blocks(self._dedup_order)
+            rng = np.random.default_rng(self.seed + self._epoch)
+            self._epoch += 1
+            parts = [rng.permutation(self._groups[g])
+                     for g in rng.permutation(len(self._groups))]
+            order = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+            return self._split_blocks(order)
         order = np.arange(len(self.arrays))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)

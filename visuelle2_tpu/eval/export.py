@@ -46,7 +46,11 @@ def export_forecaster(model, variables, example_batch: Dict[str, np.ndarray],
     exported = jax_export.export(jax.jit(forecast),
                                  platforms=list(platforms))(*args)
     blob = exported.serialize()
-    header = json.dumps({"keys": keys, "version": 1}).encode()
+    header = json.dumps({
+        "keys": keys, "version": 1,
+        "shapes": {k: list(np.shape(example_batch[k])) for k in keys},
+        "dtypes": {k: str(np.asarray(example_batch[k]).dtype) for k in keys},
+    }).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(len(header).to_bytes(8, "little"))
@@ -74,6 +78,11 @@ def load_forecaster(path: str) -> Tuple[Callable[[Dict[str, np.ndarray]], jax.Ar
     def forecast_fn(batch: Dict[str, np.ndarray]) -> jax.Array:
         missing = set(keys) - set(batch)
         assert not missing, f"batch missing keys: {sorted(missing)}"
+        for k, want in header.get("shapes", {}).items():
+            got = list(np.shape(batch[k]))
+            assert got == want, (
+                f"batch['{k}'] shape {got} != exported {want} — serving "
+                f"batches must match the export batch/slot sizes")
         return exported.call(*(batch[k] for k in keys))
 
     return forecast_fn, header
