@@ -27,15 +27,24 @@ ITERS = 10
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--dups", type=int, nargs="+", default=[1, 4, 10, 32])
+    ap.add_argument("--iters", type=int, default=ITERS)
+    opts = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_batch
     from visuelle2_tpu.models import VocabSizes, build
 
+    BATCH_, ITERS_ = opts.batch, opts.iters
     model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
                   image_arch="resnet101", image_dtype=jnp.bfloat16)
-    batch = _synthetic_batch(BATCH, IMAGE, seed=1)
+    batch = _synthetic_batch(BATCH_, IMAGE, seed=1)
     variables = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         batch, train=False)
@@ -44,9 +53,9 @@ def main():
 
     results = {}
     rng = np.random.default_rng(7)
-    for dup in (1, 4, 10, 32):
-        slots = -(-BATCH // dup)
-        img_idx = (np.arange(BATCH) // dup).astype(np.int32)
+    for dup in opts.dups:
+        slots = -(-BATCH_ // dup)
+        img_idx = (np.arange(BATCH_) // dup).astype(np.int32)
         feed = dict(base, img_idx=jax.device_put(img_idx))
 
         @jax.jit
@@ -58,14 +67,14 @@ def main():
             _, fs = jax.lax.scan(body, 0, image_stack)
             return fs
 
-        stack_warm = rng.integers(0, 255, (ITERS, slots, IMAGE, IMAGE, 3)).astype(np.uint8)
-        stack_timed = rng.integers(0, 255, (ITERS, slots, IMAGE, IMAGE, 3)).astype(np.uint8)
+        stack_warm = rng.integers(0, 255, (ITERS_, slots, IMAGE, IMAGE, 3)).astype(np.uint8)
+        stack_timed = rng.integers(0, 255, (ITERS_, slots, IMAGE, IMAGE, 3)).astype(np.uint8)
         d_warm, d_timed = jax.device_put(stack_warm), jax.device_put(stack_timed)
         np.asarray(scan_batches(variables, feed, d_warm))
         t0 = time.perf_counter()
         np.asarray(scan_batches(variables, feed, d_timed))
-        dt = (time.perf_counter() - t0) / ITERS
-        fps = BATCH / dt
+        dt = (time.perf_counter() - t0) / ITERS_
+        fps = BATCH_ / dt
         results[f"dup{dup}"] = {
             "slots": slots,
             "ms_per_batch": round(dt * 1e3, 2),

@@ -203,3 +203,19 @@ def test_checkpoint_save_restore(synthetic_dataset, tmp_path):
     best = min(trainer.history, key=lambda h: h["val_wWAPE"])
     assert m["val_wWAPE"] == pytest.approx(best["val_wWAPE"], rel=1e-5)
     ckpt.close()
+
+
+def test_trace_dir_captures_device_trace(synthetic_dataset, tmp_path):
+    """TrainConfig.trace_dir writes a jax.profiler trace of one steady-state
+    step (the --trace_dir CLI surface; utils/tracing.py)."""
+    import os
+
+    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
+    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
+    trace_dir = str(tmp_path / "trace")
+    trainer = Trainer(model, TrainConfig(epochs=1, batch_size=16,
+                                         learning_rate=1e-2,
+                                         trace_dir=trace_dir))
+    trainer.fit(train_loader, val_loader)
+    found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs]
+    assert any(f.endswith((".trace.json.gz", ".xplane.pb")) for f in found), found

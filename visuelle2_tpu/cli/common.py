@@ -41,6 +41,10 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--gpu_num", type=int, default=0,
                    help="accepted for reference CLI compatibility "
                         "(train_dl.py:204); device selection is JAX's")
+    p.add_argument("--trace_dir", type=str, default="",
+                   help="capture a jax.profiler device trace of one "
+                        "steady-state train step into this directory "
+                        "(TensorBoard/Perfetto)")
     # wandb-compatible flags (kept for CLI parity; logging is JSONL locally)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_entity", type=str, default="")

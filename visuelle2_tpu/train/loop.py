@@ -102,6 +102,10 @@ class TrainConfig:
     # (parallel/sharding.py); the default matches real model dims, tests
     # lower it to shard tiny configs.
     tp_min_dim: int = 64
+    # When set, capture a jax.profiler device trace of one steady-state
+    # train step (the second step, after compilation) into this directory
+    # (viewable in TensorBoard/Perfetto; utils/tracing.py).
+    trace_dir: Optional[str] = None
 
 
 class Trainer:
@@ -247,10 +251,22 @@ class Trainer:
             state = self.init_state(next(iter(train_loader)))
         rng = jax.random.key(self.config.seed + 1000)
         t0 = time.time()
+        want_trace = self.config.trace_dir is not None
         for epoch in range(start_epoch, self.config.epochs):
             losses = []
             for batch in train_loader:
-                state, m = self.train_step(state, batch, rng)
+                if want_trace and epoch == start_epoch and (
+                        len(losses) == 1 or len(train_loader) == 1):
+                    # Second step of the run: compiled, steady-state (first
+                    # step, compile included, when the epoch has one batch).
+                    from visuelle2_tpu.utils.tracing import trace
+
+                    with trace(self.config.trace_dir):
+                        state, m = self.train_step(state, batch, rng)
+                        jax.block_until_ready(m["loss"])
+                    want_trace = False
+                else:
+                    state, m = self.train_step(state, batch, rng)
                 losses.append(m["loss"])
             metrics = self.evaluate(state, val_loader)
             metrics.update(epoch=epoch,
