@@ -219,3 +219,74 @@ def test_trace_dir_captures_device_trace(synthetic_dataset, tmp_path):
     trainer.fit(train_loader, val_loader)
     found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs]
     assert any(f.endswith((".trace.json.gz", ".xplane.pb")) for f in found), found
+
+
+def test_accum_step_matches_manual_microbatch_oracle(synthetic_dataset):
+    """accum_train_step == grads averaged over microbatches at the SAME
+    params with BN stats threaded sequentially, applied in one update
+    (computed here with plain jax calls as an independent oracle)."""
+    from visuelle2_tpu.train import optim as optim_lib
+    from visuelle2_tpu.train.loop import expand_mask, mse_loss, target_and_pred
+
+    train_loader, _ = _loaders(synthetic_dataset, True, 12)
+    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
+    trainer = Trainer(model, TrainConfig(batch_size=16, learning_rate=1e-2,
+                                         accum_steps=2, grad_clip=0.5))
+    it = iter(train_loader)
+    b0, b1 = next(it), next(it)
+    state = trainer.init_state(b0)
+    # SGD for the comparison: the update is LINEAR in the gradient, so the
+    # oracle match is not destroyed by Adafactor's sign(g/rms) amplifying
+    # compilation-order float noise on near-zero gradient components.
+    import optax
+
+    sgd = optax.sgd(1e-2)
+    state = state.replace(tx=sgd, opt_state=sgd.init(state.params))
+    key = jax.random.key(5)
+
+    # Oracle: mirror the accumulation semantics with plain jax calls.
+    base = jax.random.fold_in(key, state.step)
+
+    def loss_fn(params, stats, batch, i):
+        drop, samp = jax.random.split(jax.random.fold_in(base, i))
+        out, mut = model.apply(
+            {"params": optim_lib.stop_frozen_gradients(params),
+             "batch_stats": stats},
+            batch, train=True, rngs={"dropout": drop, "sampling": samp},
+            mutable=["batch_stats"])
+        f, _aux = out
+        target, pred = target_and_pred(batch, f)
+        return mse_loss(target, pred, expand_mask(batch, target)), \
+            mut["batch_stats"]
+
+    (l0, stats1), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.batch_stats, b0, 0)
+    (l1, stats2), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, stats1, b1, 1)
+    grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g0, g1)
+    want = state.apply_gradients(grads, stats2)
+
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+    state2 = trainer.init_state(b0)  # fresh (init is deterministic)
+    state2 = state2.replace(tx=sgd, opt_state=sgd.init(state2.params))
+    got, m = trainer.accum_train_step(state2, stacked, key)
+    np.testing.assert_allclose(float(m["loss"]), float((l0 + l1) / 2), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        want.params, got.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        dict(want.batch_stats), dict(got.batch_stats))
+
+
+def test_fit_with_accumulation_converges(synthetic_dataset):
+    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
+    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
+    trainer = Trainer(model, TrainConfig(epochs=4, batch_size=16,
+                                         learning_rate=1e-2, accum_steps=2))
+    trainer.fit(train_loader, val_loader)
+    losses = [h["train_loss"] for h in trainer.history]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses

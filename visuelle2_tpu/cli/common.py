@@ -45,6 +45,10 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="capture a jax.profiler device trace of one "
                         "steady-state train step into this directory "
                         "(TensorBoard/Perfetto)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="average gradients over N consecutive batches per "
+                        "optimizer update (pl.Trainer accumulate_grad_"
+                        "batches analogue; effective batch = N x batch_size)")
     # wandb-compatible flags (kept for CLI parity; logging is JSONL locally)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_entity", type=str, default="")

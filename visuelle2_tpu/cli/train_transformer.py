@@ -64,7 +64,8 @@ def run(args):
     trainer = Trainer(model, TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
         grad_clip=0.5, norm_scalar=norm_scalar,
-        trace_dir=getattr(args, "trace_dir", "") or None))
+        trace_dir=getattr(args, "trace_dir", "") or None,
+        accum_steps=getattr(args, "accum_steps", 1)))
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=1)
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 

@@ -42,5 +42,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(axes))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a [accum_steps, batch, ...] microbatch stack: axis 0
+    (the accumulation axis) replicates, axis 1 is the batch axis."""
+    axes = tuple(ax for ax in mesh.axis_names if ax != "model")
+    return NamedSharding(mesh, P(None, axes))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

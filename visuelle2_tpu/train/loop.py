@@ -31,7 +31,12 @@ from flax import core, struct
 from visuelle2_tpu.data.loader import BatchLoader
 from visuelle2_tpu.ops.metrics import eval_metrics, finalize_metrics
 from visuelle2_tpu.parallel.distributed import global_batch
-from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from visuelle2_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    stacked_batch_sharding,
+)
 from visuelle2_tpu.parallel.sharding import infer_param_sharding
 from visuelle2_tpu.train import optim as optim_lib
 
@@ -106,6 +111,13 @@ class TrainConfig:
     # train step (the second step, after compilation) into this directory
     # (viewable in TensorBoard/Perfetto; utils/tracing.py).
     trace_dir: Optional[str] = None
+    # Gradient accumulation (pl.Trainer accumulate_grad_batches analogue):
+    # every optimizer update averages gradients over this many consecutive
+    # loader batches (lax.scan over the microbatch stack inside ONE compiled
+    # step; BatchNorm stats thread sequentially, exactly as if the batches
+    # had been separate steps).  Trailing batches that don't fill a group
+    # are dropped, like drop_remainder.
+    accum_steps: int = 1
 
 
 class Trainer:
@@ -116,8 +128,10 @@ class Trainer:
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
         self._batch_sharding = batch_sharding(self.mesh)
+        self._stacked_sharding = stacked_batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
         self._train_step = None
+        self._accum_step = None
         self._eval_step = None
         self.history = []
 
@@ -201,6 +215,54 @@ class Trainer:
 
         return jax.jit(step_fn, donate_argnums=0)
 
+    def _build_accum_step(self):
+        """One optimizer update from ``accum_steps`` microbatches.
+
+        A ``lax.scan`` over the stacked microbatches computes gradients at
+        the SAME params (standard accumulation), sums them, and threads
+        BatchNorm stats sequentially — semantically the batches ran back to
+        back, but params move once with the averaged gradient (the
+        reference's ``pl.Trainer(accumulate_grad_batches=N)`` analogue)."""
+        model = self.model
+
+        def step_fn(state: TrainState, batches, rng):
+            base_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params, stats, batch, drop_rng, samp_rng):
+                variables = {"params": optim_lib.stop_frozen_gradients(params)}
+                if stats:
+                    variables["batch_stats"] = stats
+                out, mutated = model.apply(
+                    variables, batch, train=True,
+                    rngs={"dropout": drop_rng, "sampling": samp_rng},
+                    mutable=["batch_stats"])
+                forecast, _aux = out
+                target, pred = target_and_pred(batch, forecast)
+                loss = mse_loss(target, pred, expand_mask(batch, target))
+                return loss, mutated.get("batch_stats", stats)
+
+            def micro(carry, xs):
+                stats, gsum, lsum = carry
+                batch_t, i = xs
+                drop_rng, samp_rng = jax.random.split(
+                    jax.random.fold_in(base_rng, i))
+                (loss, stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, stats, batch_t,
+                                           drop_rng, samp_rng)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (stats, gsum, lsum + loss), None
+
+            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (stats, gsum, lsum), _ = jax.lax.scan(
+                micro, (state.batch_stats, zeros, 0.0),
+                (batches, jnp.arange(n)))
+            grads = jax.tree_util.tree_map(lambda g: g / n, gsum)
+            new_state = state.apply_gradients(grads, stats)
+            return new_state, {"loss": lsum / n}
+
+        return jax.jit(step_fn, donate_argnums=0)
+
     def _build_eval_step(self):
         model = self.model
         cfg = self.config
@@ -222,6 +284,32 @@ class Trainer:
             self._train_step = self._build_train_step()
         batch = global_batch(batch, self._batch_sharding)
         return self._train_step(state, batch, rng)
+
+    def accum_train_step(self, state, stacked, rng):
+        """One update from a [accum_steps, batch, ...] microbatch stack."""
+        if self._accum_step is None:
+            self._accum_step = self._build_accum_step()
+        stacked = global_batch(stacked, self._stacked_sharding)
+        return self._accum_step(state, stacked, rng)
+
+    def _train_inputs(self, loader):
+        """Loader batches, grouped+stacked when accumulating gradients."""
+        A = self.config.accum_steps
+        if A <= 1:
+            yield from loader
+            return
+        group = []
+        for b in loader:
+            group.append(b)
+            if len(group) == A:
+                yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+                group = []
+        # A trailing partial group is dropped (see TrainConfig.accum_steps).
+
+    def _dispatch_step(self, state, item, rng):
+        if self.config.accum_steps > 1:
+            return self.accum_train_step(state, item, rng)
+        return self.train_step(state, item, rng)
 
     def eval_step(self, state, batch):
         if self._eval_step is None:
@@ -252,21 +340,22 @@ class Trainer:
         rng = jax.random.key(self.config.seed + 1000)
         t0 = time.time()
         want_trace = self.config.trace_dir is not None
+        steps_per_epoch = len(train_loader) // max(1, self.config.accum_steps)
         for epoch in range(start_epoch, self.config.epochs):
             losses = []
-            for batch in train_loader:
+            for batch in self._train_inputs(train_loader):
                 if want_trace and epoch == start_epoch and (
-                        len(losses) == 1 or len(train_loader) == 1):
+                        len(losses) == 1 or steps_per_epoch == 1):
                     # Second step of the run: compiled, steady-state (first
-                    # step, compile included, when the epoch has one batch).
+                    # step, compile included, when the epoch has one step).
                     from visuelle2_tpu.utils.tracing import trace
 
                     with trace(self.config.trace_dir):
-                        state, m = self.train_step(state, batch, rng)
+                        state, m = self._dispatch_step(state, batch, rng)
                         jax.block_until_ready(m["loss"])
                     want_trace = False
                 else:
-                    state, m = self.train_step(state, batch, rng)
+                    state, m = self._dispatch_step(state, batch, rng)
                 losses.append(m["loss"])
             metrics = self.evaluate(state, val_loader)
             metrics.update(epoch=epoch,
