@@ -290,3 +290,52 @@ def test_fit_with_accumulation_converges(synthetic_dataset):
     losses = [h["train_loss"] for h in trainer.history]
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_fit_halts_on_nonfinite_loss(synthetic_dataset):
+    """A NaN-poisoned state stops training at the first epoch instead of
+    burning the remaining budget (TrainConfig.halt_on_nonfinite)."""
+    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
+    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
+    trainer = Trainer(model, TrainConfig(epochs=5, batch_size=16,
+                                         learning_rate=1e-2))
+    state = trainer.init_state(next(iter(train_loader)))
+    poisoned = jax.tree_util.tree_map(lambda x: x * jnp.nan, state.params)
+    state = state.replace(params=poisoned)
+    trainer.fit(train_loader, val_loader, state=state)
+    assert len(trainer.history) == 1
+    assert trainer.history[0]["halted"] == "non-finite train loss"
+
+
+def test_dedup_accum_tensor_parallel_compose(synthetic_dataset):
+    """Feature composition on one mesh: unique-image dedup batches +
+    gradient accumulation + tensor parallelism (4x2) in the same compiled
+    step, with at least one kernel actually sharded over ``model``."""
+    from visuelle2_tpu.data.images import ImageStore as _IS
+    from visuelle2_tpu.parallel.mesh import make_mesh as _mm
+
+    arrays = load_visuelle2(synthetic_dataset, "train", demand=True,
+                            output_len=12)
+    n = len(arrays)
+    rng = np.random.default_rng(3)
+    pixels = rng.integers(0, 255, (-(-n // 4), 32, 32, 3), dtype=np.uint8)
+    store = _IS(pixels, row_to_img=np.arange(n) // 4)
+    loader = BatchLoader(arrays, store, 16, native_prefetch=False,
+                         shuffle=True, drop_remainder=True, dedup_images=True,
+                         image_slots_multiple=4)
+    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
+    trainer = Trainer(model, TrainConfig(batch_size=16, learning_rate=1e-2,
+                                         accum_steps=2, tp_min_dim=8),
+                      mesh=_mm(data=4, model=2))
+    state = trainer.init_state(next(iter(loader)))
+    assert _model_sharded_leaves(state.params), \
+        "no param sharded over the model axis"
+
+    key = jax.random.key(0)
+    losses = []
+    for stacked in trainer._train_inputs(loader):
+        state, m = trainer.accum_train_step(state, stacked, key)
+        losses.append(float(m["loss"]))
+        if len(losses) == 2:
+            break
+    assert losses and np.all(np.isfinite(losses))

@@ -118,6 +118,11 @@ class TrainConfig:
     # had been separate steps).  Trailing batches that don't fill a group
     # are dropped, like drop_remainder.
     accum_steps: int = 1
+    # Stop training when an epoch's mean loss goes non-finite (diverged /
+    # NaN-poisoned state): the best checkpoint so far is preserved and
+    # history records the event, instead of burning the remaining epoch
+    # budget training garbage.
+    halt_on_nonfinite: bool = True
 
 
 class Trainer:
@@ -357,9 +362,17 @@ class Trainer:
                 else:
                     state, m = self._dispatch_step(state, batch, rng)
                 losses.append(m["loss"])
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+            if self.config.halt_on_nonfinite and not np.isfinite(train_loss):
+                metrics = {"epoch": epoch, "train_loss": train_loss,
+                           "halted": "non-finite train loss",
+                           "wall_s": time.time() - t0}
+                self.history.append(metrics)
+                if log_fn:
+                    log_fn(metrics)
+                return state
             metrics = self.evaluate(state, val_loader)
-            metrics.update(epoch=epoch,
-                           train_loss=float(jnp.mean(jnp.stack(losses))),
+            metrics.update(epoch=epoch, train_loss=train_loss,
                            wall_s=time.time() - t0)
             self.history.append(metrics)
             if log_fn:
