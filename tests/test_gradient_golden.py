@@ -1,0 +1,187 @@
+"""Whole-model GRADIENT golden vs torch autograd.
+
+The forward goldens (test_whole_model_golden.py) prove eval-mode forecast
+parity; this proves the BACKWARD path: the same gated_v4 composition in raw
+torch (``/root/reference/models/Proposed_model_v4.py:245-289`` math), an MSE
+loss against the demand target, torch ``loss.backward()`` vs ``jax.grad`` —
+every parameter gradient through the ResNet backbone, trend transformer
+encoder (gcd mask), gated fusion, GRU, and transformer decoder must match.
+Gradients convert with the SAME weight-mapping functions as the forward
+goldens, applied to gradient-shadow modules (deepcopy with ``.grad`` swapped
+into ``.data``).
+"""
+
+import copy
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_whole_model_golden import (
+    E,
+    VOCAB,
+    _backbone_variables,
+    _batch,
+    _embedding_params,
+    _normalized_images,
+    _tiny_resnet,
+)
+from tests.torch_ref import (
+    decoder_layer_params,
+    encoder_layer_params,
+    gru_params,
+    linear_params,
+    t2n,
+)
+from visuelle2_tpu.models import build
+
+
+def _grad_shadow(module):
+    """A deepcopy of ``module`` whose params hold the original's gradients,
+    so the forward goldens' weight converters convert gradients verbatim."""
+    gm = copy.deepcopy(module)
+    for p_dst, p_src in zip(gm.parameters(), module.parameters()):
+        p_dst.data = (p_src.grad.detach().clone() if p_src.grad is not None
+                      else torch.zeros_like(p_src))
+    return gm
+
+
+def test_gated_v4_gradient_matches_torch_autograd():
+    torch.manual_seed(23)
+    n = 4
+    batch = _batch(n=n, demand=True, seed=9)
+
+    cnn = _tiny_resnet().eval()
+    projection = torch.nn.Conv2d(2048, E, 1)
+    input_linear = torch.nn.Linear(3, E)
+    enc_layers = [torch.nn.TransformerEncoderLayer(E, 4, dropout=0.2)
+                  for _ in range(2)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    dummy_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    dummy_fusion = torch.nn.Linear(4 * E, E)
+    img_gate = torch.nn.Linear(5 * E, E)
+    dummy_gate = torch.nn.Linear(5 * E, E)
+    fusion_fc = torch.nn.Linear(6 * E, E)
+    fusion_norm = torch.nn.LayerNorm(E)
+    dec_layer = torch.nn.TransformerDecoderLayer(E, 4, dim_feedforward=4 * E,
+                                                 dropout=0.1)
+    decoder_fc = torch.nn.Linear(E, 12)
+    for m in (dec_layer, *enc_layers):
+        m.eval()
+
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+
+    # ---- torch forward (grad-enabled) + backward.
+    g = input_linear(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+    g = g.permute(1, 0, 2) + pos[:, None, :]
+    mask = torch.full((52, 52), float("-inf"))
+    for i in range(0, 52, 4):
+        mask[i:i + 4, i:i + 4] = 0.0
+    memory = g
+    for layer in enc_layers:
+        memory = layer(memory, src_mask=mask)
+
+    h_text = torch.stack([e(torch.tensor(batch[k].astype(np.int64)))
+                          for e, k in zip(embs, ("cat", "col", "fab",
+                                                 "store"))], dim=1)
+    feats = cnn(_normalized_images(batch["images"]))
+    h_img = projection(feats).mean(dim=(2, 3))
+    d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                   for i, l in enumerate(dummy_lins)], dim=1)
+    h_dummy = dummy_fusion(d)
+    h_sales = sales_gru(torch.zeros(n, 2, 1))[0][:, -1, :]
+
+    text_flat = h_text.reshape(n, -1)
+    gi = torch.sigmoid(img_gate(torch.cat([text_flat, h_img], 1)))
+    gd = torch.sigmoid(dummy_gate(torch.cat([text_flat, h_dummy], 1)))
+    fused = torch.cat([h_img + h_img * gi, text_flat,
+                       h_dummy + h_dummy * gd], 1)
+    static_ctx = torch.relu(fusion_norm(fusion_fc(fused)))
+
+    tgt = (h_sales + static_ctx).unsqueeze(0)
+    out = dec_layer(tgt, memory)
+    t_pred = decoder_fc(out).transpose(0, 1).reshape(n, 12)
+
+    target = torch.tensor(batch["ts"])
+    t_loss = torch.nn.functional.mse_loss(t_pred, target)
+    t_loss.backward()
+
+    # ---- one mapping used twice: weights -> variables, grads -> expected.
+    def param_tree(cnn, projection, input_linear, enc_layers, embs, sales_gru,
+                   dummy_lins, dummy_fusion, img_gate, dummy_gate, fusion_fc,
+                   fusion_norm, dec_layer, decoder_fc):
+        rn = _backbone_variables(cnn)
+        return rn, {
+            "gtrend_encoder": {
+                "input_linear": linear_params(input_linear),
+                "encoder": {f"layer{i}": encoder_layer_params(l)
+                            for i, l in enumerate(enc_layers)},
+            },
+            "text_encoder": {nm: _embedding_params(e)
+                             for nm, e in zip(("cat", "col", "fab", "store"),
+                                              embs)},
+            "image_encoder": {
+                "backbone": rn["params"],
+                "projection": {
+                    "kernel": np.transpose(t2n(projection.weight), (2, 3, 1, 0)),
+                    "bias": t2n(projection.bias)},
+            },
+            "dummy_encoder": dict(
+                {nm: linear_params(l)
+                 for nm, l in zip(("day", "week", "month", "year"),
+                                  dummy_lins)},
+                fusion=linear_params(dummy_fusion)),
+            "sales_encoder": {"gru": gru_params(sales_gru)},
+            "fusion": {
+                "img_gate_fc": linear_params(img_gate),
+                "dummy_gate_fc": linear_params(dummy_gate),
+                "fusion_fc": linear_params(fusion_fc),
+                "fusion_norm": {"scale": t2n(fusion_norm.weight),
+                                "bias": t2n(fusion_norm.bias)},
+            },
+            "decoder": {"layer0": decoder_layer_params(dec_layer)},
+            "decoder_fc": linear_params(decoder_fc),
+        }
+
+    mods = (cnn, projection, input_linear, enc_layers, embs, sales_gru,
+            dummy_lins, dummy_fusion, img_gate, dummy_gate, fusion_fc,
+            fusion_norm, dec_layer, decoder_fc)
+    rn, params = param_tree(*mods)
+    shadow = tuple(
+        [_grad_shadow(x) for x in m] if isinstance(m, list)
+        else _grad_shadow(m) for m in mods)
+    _, want_grads = param_tree(*shadow)
+
+    variables = jax.tree_util.tree_map(jnp.asarray, {
+        "params": params,
+        "batch_stats": {"image_encoder": {"backbone": rn["batch_stats"]}}})
+    model = build("gated_v4", vocab=VOCAB, output_len=12,
+                  embedding_dim=E, hidden_dim=E, image_arch="tiny")
+
+    def loss_fn(p):
+        pred, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch, train=False)
+        return jnp.mean((pred - jnp.asarray(batch["ts"])) ** 2)
+
+    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-5)
+
+    flat_want = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(want_grads)}
+    flat_got = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert set(flat_want) == set(flat_got)
+    for k in sorted(flat_want):
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_want[k]),
+            atol=5e-5, rtol=1e-3, err_msg=k)
