@@ -185,3 +185,128 @@ def test_gated_v4_gradient_matches_torch_autograd():
         np.testing.assert_allclose(
             np.asarray(flat_got[k]), np.asarray(flat_want[k]),
             atol=5e-5, rtol=1e-3, err_msg=k)
+
+
+def test_cross_attn_rnn_21_gradient_matches_torch_autograd():
+    """Backward parity for the CrossAttnRNN family: additive attention,
+    window flatten + repeat_interleave, MHA, and the dual GRUs
+    (``/root/reference/models/CrossAttnRNN21.py:121-211`` math)."""
+    from tests.test_whole_model_golden import _additive, _additive_params
+    from tests.torch_ref import mha_params
+
+    torch.manual_seed(31)
+    n, W = 4, 10
+    batch = _batch(n=n, windows=W, seed=13)
+
+    cnn = _tiny_resnet().eval()
+    img_fc = torch.nn.Linear(2048, E)
+    trend_gru = torch.nn.GRU(3, E, batch_first=True)
+    temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    adds = {k: (torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, 1)) for k in ("img", "ts", "mm")}
+    trend_linear = torch.nn.Linear(52 * E, E)
+    mm_embedder = torch.nn.Linear(E, E)
+    decoder_fc = torch.nn.Linear(E, 1)
+
+    # ---- torch forward (grad-enabled) + backward.
+    X = torch.tensor(batch["X"]).reshape(n * W, 2, 1)
+    feats = cnn(_normalized_images(batch["images"]))
+    img_enc = img_fc(feats.flatten(2).permute(0, 2, 1))
+    trend_enc = trend_gru(torch.tensor(batch["gtrends"]).permute(0, 2, 1))[0]
+    dummy = sum(l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                for i, l in enumerate(temp_lins))
+    attr = sum(e(torch.tensor(batch[k].astype(np.int64)))
+               for e, k in zip(embs, ("cat", "col", "fab", "store")))
+    rep = lambda t: t.repeat_interleave(W, dim=0)
+    img_enc, trend_enc = rep(img_enc), rep(trend_enc)
+    dummy, attr = rep(dummy), rep(attr)
+    trend_enc = self_attn(*([trend_enc.permute(1, 0, 2)] * 3))[0]
+    _, hidden = sales_gru(X)
+    hidden = hidden.squeeze(0)
+    att_img, _ = _additive(*adds["img"], img_enc, hidden)
+    att_img = att_img.sum(1)
+    att_tr, _ = _additive(*adds["ts"], trend_enc.permute(1, 0, 2), hidden)
+    att_tr = trend_linear(att_tr.reshape(n * W, -1))
+    mm_in = torch.stack([dummy, att_img, attr, att_tr], dim=1)
+    att_mm, _ = _additive(*adds["mm"], mm_in, hidden)
+    ctx = mm_embedder((mm_in + att_mm).sum(1))
+    t_pred = decoder_fc(ctx)
+
+    target = torch.tensor(batch["y"]).reshape(n * W, 1)
+    t_loss = torch.nn.functional.mse_loss(t_pred, target)
+    t_loss.backward()
+
+    temp_names = ("day", "week", "month", "year")
+
+    def param_tree(cnn, img_fc, trend_gru, temp_lins, embs, sales_gru,
+                   self_attn, adds, trend_linear, mm_embedder, decoder_fc):
+        rn = _backbone_variables(cnn)
+        return rn, {
+            "static": {
+                "image_encoder": {"backbone": rn["params"],
+                                  "fc": linear_params(img_fc)},
+                "trend_encoder": {"gru": gru_params(trend_gru)},
+                "temp_encoder": {nm: linear_params(l)
+                                 for nm, l in zip(temp_names, temp_lins)},
+                "attribute_encoder": {
+                    nm: _embedding_params(e)
+                    for nm, e in zip(("cat", "col", "fab", "store"), embs)},
+            },
+            "ts_self_attention": mha_params(self_attn),
+            "sales_encoder_gru": gru_params(sales_gru),
+            "fusion": {
+                "img_attention": _additive_params(*adds["img"]),
+                "ts_attention": _additive_params(*adds["ts"]),
+                "multimodal_attention": _additive_params(*adds["mm"]),
+                "trend_linear": linear_params(trend_linear),
+                "multimodal_embedder": linear_params(mm_embedder),
+            },
+            "decoder_fc": linear_params(decoder_fc),
+        }
+
+    def shadow_adds(a):
+        return {k: tuple(_grad_shadow(l) for l in v) for k, v in a.items()}
+
+    rn, params = param_tree(cnn, img_fc, trend_gru, temp_lins, embs,
+                            sales_gru, self_attn, adds, trend_linear,
+                            mm_embedder, decoder_fc)
+    _, want_grads = param_tree(
+        _grad_shadow(cnn), _grad_shadow(img_fc), _grad_shadow(trend_gru),
+        [_grad_shadow(l) for l in temp_lins], [_grad_shadow(e) for e in embs],
+        _grad_shadow(sales_gru), _grad_shadow(self_attn), shadow_adds(adds),
+        _grad_shadow(trend_linear), _grad_shadow(mm_embedder),
+        _grad_shadow(decoder_fc))
+
+    variables = jax.tree_util.tree_map(jnp.asarray, {
+        "params": params,
+        "batch_stats": {"static": {"image_encoder": {
+            "backbone": rn["batch_stats"]}}}})
+    model = build("cross_attn_rnn_21", vocab=VOCAB, out_len=1,
+                  attention_dim=E, embedding_dim=E, hidden_dim=E,
+                  image_arch="tiny")
+
+    def loss_fn(p):
+        pred, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch, train=False)
+        return jnp.mean((pred.reshape(n * W, 1)
+                         - jnp.asarray(batch["y"]).reshape(n * W, 1)) ** 2)
+
+    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-5)
+
+    flat_want = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(want_grads)}
+    flat_got = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert set(flat_want) == set(flat_got)
+    for k in sorted(flat_want):
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_want[k]),
+            atol=5e-5, rtol=1e-3, err_msg=k)
