@@ -28,6 +28,16 @@ ITERS = 4
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--dups", type=int, nargs="+", default=[1, 4, 10])
+    ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize backbone blocks (large batches)")
+    opts = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -36,16 +46,18 @@ def main():
     from visuelle2_tpu.train.loop import TrainConfig, Trainer, expand_mask, \
         mse_loss, target_and_pred
 
+    BATCH_, ITERS_ = opts.batch, opts.iters
     model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
-                  image_arch="resnet101", image_dtype=jnp.bfloat16)
-    trainer = Trainer(model, TrainConfig(batch_size=BATCH, grad_clip=0.5))
-    base = _synthetic_batch(BATCH, IMAGE, seed=1)
+                  image_arch="resnet101", image_dtype=jnp.bfloat16,
+                  image_remat=opts.remat)
+    trainer = Trainer(model, TrainConfig(batch_size=BATCH_, grad_clip=0.5))
+    base = _synthetic_batch(BATCH_, IMAGE, seed=1)
 
     results = {}
     rng = np.random.default_rng(7)
-    for dup in (1, 4, 10):
-        slots = -(-BATCH // dup)
-        batch = dict(base, img_idx=(np.arange(BATCH) // dup).astype(np.int32),
+    for dup in opts.dups:
+        slots = -(-BATCH_ // dup)
+        batch = dict(base, img_idx=(np.arange(BATCH_) // dup).astype(np.int32),
                      images=base["images"][:slots])
         state = trainer.init_state(batch)
 
@@ -73,9 +85,9 @@ def main():
             return jax.lax.scan(body, state, image_stack)
 
         warm = jax.device_put(rng.integers(
-            0, 255, (ITERS, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
+            0, 255, (ITERS_, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
         timed = jax.device_put(rng.integers(
-            0, 255, (ITERS, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
+            0, 255, (ITERS_, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
         batch = jax.device_put(batch)
 
         state2, losses = scan_train(state, batch, warm)
@@ -83,11 +95,11 @@ def main():
         t0 = time.perf_counter()
         _, losses = scan_train(state2, batch, timed)
         np.asarray(losses)
-        dt = (time.perf_counter() - t0) / ITERS
+        dt = (time.perf_counter() - t0) / ITERS_
         results[f"dup{dup}"] = {
             "slots": slots, "step_ms": round(dt * 1000, 1),
             "train_samples_per_sec_per_chip": round(
-                BATCH / dt / max(1, len(jax.devices())), 1),
+                BATCH_ / dt / max(1, len(jax.devices())), 1),
         }
         print(json.dumps({f"dup{dup}": results[f"dup{dup}"]}), flush=True)
 

@@ -321,3 +321,50 @@ def test_inception_backbone_shape_and_legacy_encoder(rng):
     # 299 -> 8x8 = 64 patches (modules.py:91 view(-1, 64, 2048))
     assert out.shape == (1, 64, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_image_remat_preserves_forward_and_grad():
+    """image_remat (jax.checkpoint over backbone blocks) is a pure
+    memory/FLOPs trade: identical eval forward; train-mode gradients equal
+    up to recompute rounding.  NOTE the tolerance asymmetry: the backward
+    recompute is compiled separately from the primal, so its f32 rounding
+    differs, and train-mode BatchNorm amplifies that by 1/batch-var — at
+    degenerate test dims (1x1 feature maps, batch-var over 4 samples) the
+    plain-vs-remat gradient gap is ~1e-2 while both are ~1e-5 from the f64
+    truth at realistic spatial dims (measured; see docs/RESULTS_r2.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.models import VocabSizes, build
+
+    batch = _synthetic_batch(4, 64)  # 64x64 -> 2x2 maps: BN not degenerate
+    kw = dict(vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+              embedding_dim=16, hidden_dim=16, image_arch="tiny")
+    plain = build("gated_v4", **kw)
+    remat = build("gated_v4", image_remat=True, **kw)
+    variables = plain.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, batch, train=False)
+
+    # Eval forward: bitwise-level agreement (no recompute on forward).
+    f1, _ = plain.apply(variables, batch, train=False)
+    f2, _ = remat.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-6)
+
+    def loss(model):
+        def f(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(2),
+                      "sampling": jax.random.key(3)})
+            (pred, _aux) = out[0], out[1]
+            return jnp.mean(pred ** 2)
+        return jax.jit(jax.value_and_grad(f))(variables["params"])
+
+    l1, g1 = loss(plain)
+    l2, g2 = loss(remat)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=5e-3), g1, g2)

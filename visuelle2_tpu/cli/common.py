@@ -45,6 +45,10 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="capture a jax.profiler device trace of one "
                         "steady-state train step into this directory "
                         "(TensorBoard/Perfetto)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone blocks on backward "
+                        "(jax.checkpoint): FLOPs for HBM, fits larger "
+                        "train batches")
     p.add_argument("--accum_steps", type=int, default=1,
                    help="average gradients over N consecutive batches per "
                         "optimizer update (pl.Trainer accumulate_grad_"

@@ -36,7 +36,8 @@ def run(args):
                 embedding_dim=args.embedding_dim, hidden_dim=args.hidden_dim,
                 vocab=vocab, use_img=bool(args.use_img),
                 image_arch=args.image_arch,
-                image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32)
+                image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32,
+                image_remat=bool(getattr(args, "remat", False)))
     if demand:
         model = build("cross_attn_rnn_demand", out_len=12,
                       use_teacher_forcing=bool(args.use_teacher_forcing),

@@ -39,6 +39,7 @@ def make_model(args, vocab):
         use_img=bool(args.use_img),
         image_arch=args.image_arch,
         image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32,
+        image_remat=bool(getattr(args, "remat", False)),
     )
     if args.model == "gtm_v1":
         # Original VISUELLE-1 GTM: BERT-featurized text at ingest (batch

@@ -48,6 +48,9 @@ class _StaticEncodings(nn.Module):
     use_img: bool = True
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    # Rematerialize backbone blocks on backward (jax.checkpoint): trades
+    # FLOPs for HBM so large train batches fit.
+    image_remat: bool = False
     # CrossAttnRNNDemand.py:55-65 reuses the day projection for all four
     # temporal features; we default to the fixed behaviour (SURVEY.md §7.3)
     # and keep the quirk reproducible for checkpoint parity.
@@ -61,6 +64,7 @@ class _StaticEncodings(nn.Module):
         if self.use_img:
             img_encoding = ImagePatchEncoder(
                 E, arch=self.image_arch, dtype=self.image_dtype,
+                remat=self.image_remat,
                 name="image_encoder")(
                 batch["images"], train=train, deterministic=det,
                 img_idx=batch.get("img_idx"))
@@ -136,6 +140,7 @@ class CrossAttnRNN21(nn.Module):
     out_len: int = 1
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    image_remat: bool = False
     use_pallas: bool = False
 
     @nn.compact
@@ -145,6 +150,7 @@ class CrossAttnRNN21(nn.Module):
         img_enc, trend_enc, dummy_enc, attr_enc = _StaticEncodings(
             self.embedding_dim, self.vocab, self.num_trends, self.use_img,
             image_arch=self.image_arch, image_dtype=self.image_dtype,
+            image_remat=self.image_remat,
             name="static")(batch, train=train)
         img_enc = repeat_windows(img_enc, W) if self.use_img else None
         trend_enc = repeat_windows(trend_enc, W)
@@ -214,6 +220,7 @@ class CrossAttnRNN210(nn.Module):
     teacher_forcing_ratio: float = 0.5
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    image_remat: bool = False
     use_pallas: bool = False
 
     @nn.compact
@@ -224,6 +231,7 @@ class CrossAttnRNN210(nn.Module):
         img_enc, trend_enc, dummy_enc, attr_enc = _StaticEncodings(
             self.embedding_dim, self.vocab, self.num_trends, self.use_img,
             image_arch=self.image_arch, image_dtype=self.image_dtype,
+            image_remat=self.image_remat,
             name="static")(batch, train=train)
         img_enc = repeat_windows(img_enc, W) if self.use_img else None
         trend_enc = repeat_windows(trend_enc, W)
@@ -281,6 +289,7 @@ class CrossAttnRNNDemand(nn.Module):
     teacher_forcing_ratio: float = 0.5
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    image_remat: bool = False
     use_pallas: bool = False
     faithful_temporal_bug: bool = False
 
@@ -292,6 +301,7 @@ class CrossAttnRNNDemand(nn.Module):
         img_enc, trend_enc, dummy_enc, attr_enc = _StaticEncodings(
             self.embedding_dim, self.vocab, self.num_trends, self.use_img,
             image_arch=self.image_arch, image_dtype=self.image_dtype,
+            image_remat=self.image_remat,
             faithful_temporal_bug=self.faithful_temporal_bug,
             name="static")(batch, train=train)
         if self.use_trends:

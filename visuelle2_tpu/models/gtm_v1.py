@@ -188,6 +188,9 @@ class GTMv1(nn.Module):
     autoregressive: bool = False
     image_arch: str = "resnet50"  # GTM.py:159 — ResNet-50, fully frozen
     image_dtype: Any = jnp.float32
+    # Accepted for a uniform build() surface; inert — the tower is frozen
+    # with stop_gradient, so there is no backward to rematerialize.
+    image_remat: bool = False
 
     @nn.compact
     def __call__(self, batch, *, train=False):

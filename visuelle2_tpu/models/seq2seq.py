@@ -99,6 +99,9 @@ class Seq2SeqForecaster(nn.Module):
     query_modality: str = "text"  # v3 only (Proposed_model_v3.py:245)
     image_arch: str = "resnet101"
     image_dtype: Any = jnp.float32
+    # Rematerialize backbone blocks on backward (jax.checkpoint): trades
+    # FLOPs for HBM so large train batches fit.
+    image_remat: bool = False
     use_pallas: bool = False  # route gated fusion through the fused TPU kernel
 
     @nn.compact
@@ -141,7 +144,7 @@ class Seq2SeqForecaster(nn.Module):
             if self.use_img:
                 h_img = ImagePooledEncoder(
                     E, arch=self.image_arch, dtype=self.image_dtype,
-                    name="image_encoder")(
+                    remat=self.image_remat, name="image_encoder")(
                     batch["images"], train=train, deterministic=det,
                     img_idx=batch.get("img_idx"))
             h_dummy = DummyEmbedder(E, name="dummy_encoder")(
@@ -157,7 +160,7 @@ class Seq2SeqForecaster(nn.Module):
             if self.use_img:
                 h_img = ImagePooledEncoder(
                     E, final_dim=H, arch=self.image_arch, dtype=self.image_dtype,
-                    name="image_encoder")(
+                    remat=self.image_remat, name="image_encoder")(
                     batch["images"], train=train, deterministic=det,
                     img_idx=batch.get("img_idx"))
             h_dummy = TemporalEmbedder(E, H, name="temporal_encoder")(
