@@ -310,3 +310,133 @@ def test_cross_attn_rnn_21_gradient_matches_torch_autograd():
         np.testing.assert_allclose(
             np.asarray(flat_got[k]), np.asarray(flat_want[k]),
             atol=5e-5, rtol=1e-3, err_msg=k)
+
+
+def test_cross_attn_rnn_demand_gradient_matches_torch_autograd():
+    """Backward parity through the scan decode: jax.grad through 12
+    ``nn.scan`` steps (projected-h_j attention + GRU cell each step) vs
+    torch autograd through the reference's Python loop
+    (``CrossAttnRNNDemand.py:247-349``)."""
+    from tests.test_whole_model_golden import _additive_params, _additive_proj
+    from tests.torch_ref import mha_params
+
+    torch.manual_seed(41)
+    n, T = 4, 12
+    batch = _batch(n=n, demand=True, seed=17)
+
+    cnn = _tiny_resnet().eval()
+    img_fc = torch.nn.Linear(2048, E)
+    trend_gru = torch.nn.GRU(3, E, batch_first=True)
+    day_lin = torch.nn.Linear(1, E)
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    adds = {k: (torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, 1)) for k in ("img", "ts", "mm")}
+    trend_linear = torch.nn.Linear(52 * E, E)
+    mm_embedder = torch.nn.Linear(E, E)
+    dec_gru = torch.nn.GRU(E + 1, E, batch_first=True)
+    decoder_fc = torch.nn.Linear(E, 1)
+
+    # ---- torch forward (grad-enabled) + backward through the decode loop.
+    feats = cnn(_normalized_images(batch["images"]))
+    img_enc = img_fc(feats.flatten(2).permute(0, 2, 1))
+    trend_enc = trend_gru(torch.tensor(batch["gtrends"]).permute(0, 2, 1))[0]
+    dummy = sum(day_lin(torch.tensor(batch["temporal"][:, i:i + 1]))
+                for i in range(4))
+    attr = sum(e(torch.tensor(batch[k].astype(np.int64)))
+               for e, k in zip(embs, ("cat", "col", "fab", "store")))
+    trend_sa = self_attn(*([trend_enc.permute(1, 0, 2)] * 3))[0]
+    trend_sa = trend_sa.permute(1, 0, 2)
+
+    hidden = torch.zeros(n, E)
+    dec_out = torch.zeros(n, 1, 1)
+    outs = []
+    for _t in range(T):
+        a_img, _ = _additive_proj(*adds["img"], img_enc, hidden)
+        a_img = a_img.sum(1)
+        a_tr, _ = _additive_proj(*adds["ts"], trend_sa, hidden)
+        a_tr = trend_linear(a_tr.reshape(n, -1))
+        mm_in = torch.stack([dummy, a_img, attr, a_tr], dim=1)
+        a_mm, _ = _additive_proj(*adds["mm"], mm_in, hidden)
+        ctx = mm_embedder((mm_in + a_mm).sum(1))
+        x = torch.cat([ctx.unsqueeze(1), dec_out], dim=2)
+        out, h = dec_gru(x, hidden.unsqueeze(0))
+        hidden = h.squeeze(0)
+        dec_out = decoder_fc(out)
+        outs.append(dec_out[:, 0, :])
+    t_pred = torch.stack(outs, dim=1)  # [n, 12, 1]
+
+    # Reference loss: MSE(ts, forecast) (CrossAttnRNNDemand.py:380).
+    target = torch.tensor(batch["ts"])
+    t_loss = torch.nn.functional.mse_loss(t_pred[..., 0], target)
+    t_loss.backward()
+
+    def param_tree(cnn, img_fc, trend_gru, day_lin, embs, self_attn, adds,
+                   trend_linear, mm_embedder, dec_gru, decoder_fc):
+        rn = _backbone_variables(cnn)
+        return rn, {
+            "static": {
+                "image_encoder": {"backbone": rn["params"],
+                                  "fc": linear_params(img_fc)},
+                "trend_encoder": {"gru": gru_params(trend_gru)},
+                "temp_encoder": {"day": linear_params(day_lin)},
+                "attribute_encoder": {
+                    nm: _embedding_params(e)
+                    for nm, e in zip(("cat", "col", "fab", "store"), embs)},
+            },
+            "ts_self_attention": mha_params(self_attn),
+            "decoder": {
+                "fusion": {
+                    "img_attention": _additive_params(*adds["img"]),
+                    "ts_attention": _additive_params(*adds["ts"]),
+                    "multimodal_attention": _additive_params(*adds["mm"]),
+                    "trend_linear": linear_params(trend_linear),
+                    "multimodal_embedder": linear_params(mm_embedder),
+                },
+                "decoder_cell": gru_params(dec_gru),
+                "decoder_fc": linear_params(decoder_fc),
+            },
+        }
+
+    def shadow_adds(a):
+        return {k: tuple(_grad_shadow(l) for l in v) for k, v in a.items()}
+
+    rn, params = param_tree(cnn, img_fc, trend_gru, day_lin, embs, self_attn,
+                            adds, trend_linear, mm_embedder, dec_gru,
+                            decoder_fc)
+    _, want_grads = param_tree(
+        _grad_shadow(cnn), _grad_shadow(img_fc), _grad_shadow(trend_gru),
+        _grad_shadow(day_lin), [_grad_shadow(e) for e in embs],
+        _grad_shadow(self_attn), shadow_adds(adds),
+        _grad_shadow(trend_linear), _grad_shadow(mm_embedder),
+        _grad_shadow(dec_gru), _grad_shadow(decoder_fc))
+
+    variables = jax.tree_util.tree_map(jnp.asarray, {
+        "params": params,
+        "batch_stats": {"static": {"image_encoder": {
+            "backbone": rn["batch_stats"]}}}})
+    model = build("cross_attn_rnn_demand", vocab=VOCAB, out_len=12,
+                  attention_dim=E, embedding_dim=E, hidden_dim=E,
+                  image_arch="tiny", faithful_temporal_bug=True)
+
+    def loss_fn(p):
+        pred, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch, train=False)
+        return jnp.mean((pred[..., 0] - jnp.asarray(batch["ts"])) ** 2)
+
+    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-5)
+
+    flat_want = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(want_grads)}
+    flat_got = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert set(flat_want) == set(flat_got)
+    for k in sorted(flat_want):
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_want[k]),
+            atol=5e-5, rtol=1e-3, err_msg=k)
