@@ -109,6 +109,15 @@ def test_score_split_metrics_invariant_to_dedup(arrays_and_store):
     assert dedup.num_forecasts == plain.num_forecasts
     np.testing.assert_allclose(dedup.wape, plain.wape, rtol=1e-5)
     np.testing.assert_allclose(dedup.mae, plain.mae, rtol=1e-5)
+    # one_pass (whole split in one lax.scan dispatch) composes with dedup
+    # batches: images [nb, slots, ...] shard their slot axis over data.
+    one = score_split(
+        model, variables,
+        BatchLoader(arrays, store, 16, native_prefetch=False,
+                    dedup_images=True, image_slots_multiple=8),
+        measure_throughput=False, one_pass=True)
+    np.testing.assert_allclose(one.wape, plain.wape, rtol=1e-5)
+    assert one.num_forecasts == plain.num_forecasts
     # The accounted FLOPs/sample must actually drop.  At these tiny test dims
     # the backbone is only ~half the model's FLOPs (slots 8 vs batch 16 ->
     # ~0.6x total); at production dims the backbone is ~99% and the ratio
