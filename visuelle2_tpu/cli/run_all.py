@@ -22,10 +22,21 @@ def _base(args):
     return out
 
 
+def _train_extras(args):
+    out = []
+    if getattr(args, "dedup_images", 0):
+        out += ["--dedup_images", "1"]
+    if getattr(args, "accum_steps", 1) > 1:
+        out += ["--accum_steps", str(args.accum_steps)]
+    if getattr(args, "remat", False):
+        out.append("--remat")
+    return out
+
+
 def run(args):
     results = {}
     base = _base(args)
-    train_base = base + ["--epochs", str(args.epochs)]
+    train_base = base + ["--epochs", str(args.epochs)] + _train_extras(args)
 
     # Task 1: SO-fore 2-1 (run_all.sh:3-12)
     t = train_dl.build_parser().parse_args(train_base + [
@@ -72,6 +83,10 @@ def main():
     p.add_argument("--image_arch", type=str, default="resnet101")
     p.add_argument("--image_size", type=int, default=299)
     p.add_argument("--quick_debug", action="store_true")
+    p.add_argument("--dedup_images", type=int, default=0,
+                   help="unique-image training batches (grouped sampler)")
+    p.add_argument("--accum_steps", type=int, default=1)
+    p.add_argument("--remat", action="store_true")
     run(p.parse_args())
 
 
