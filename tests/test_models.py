@@ -368,3 +368,35 @@ def test_image_remat_preserves_forward_and_grad():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=5e-3), g1, g2)
+
+
+def test_dump_attention_demand_and_none_for_gtm(tmp_path):
+    """dump_attention exposes the Demand model's per-step alphas (the
+    reference collects then discards them, CrossAttnRNNDemand.py:280-321)
+    and reports None for models without attention aux."""
+    import jax
+
+    from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.eval.forecast import dump_attention
+    from visuelle2_tpu.models import VocabSizes, build
+
+    batch = _synthetic_batch(4, 32)
+    kw = dict(vocab=VocabSizes(5, 6, 5, 126), embedding_dim=16,
+              hidden_dim=16, image_arch="tiny")
+    demand = build("cross_attn_rnn_demand", out_len=12, attention_dim=16,
+                   use_teacher_forcing=False, **kw)
+    v = demand.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, batch, train=False)
+    p = str(tmp_path / "attn.npz")
+    keys = dump_attention(demand, v, batch, p)
+    assert keys == ["img", "multimodal", "trend"]
+    data = np.load(p)
+    assert data["multimodal"].shape[0] == 12  # per-step, stacked by scan
+    # Alphas are softmax rows: sum to 1 over the attended axis.
+    np.testing.assert_allclose(np.asarray(data["multimodal"]).sum(-1), 1.0,
+                               atol=1e-5)
+
+    gtm = build("gtm", output_len=12, **kw)
+    v2 = gtm.init({"params": jax.random.key(0),
+                   "dropout": jax.random.key(1)}, batch, train=False)
+    assert dump_attention(gtm, v2, batch, str(tmp_path / "n.npz")) is None

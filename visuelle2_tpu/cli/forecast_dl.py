@@ -63,6 +63,14 @@ def run(args):
         size = export_forecaster(model, variables,
                                  next(iter(loaders["test"])), args.export)
         print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
+    if getattr(args, "dump_attention", ""):
+        from visuelle2_tpu.eval.forecast import dump_attention
+
+        keys = dump_attention(model, variables,
+                              next(iter(loaders["test"])),
+                              args.dump_attention)
+        print(f"Attention weights -> {args.dump_attention}: "
+              f"{keys if keys else 'model returns no attention aux'}")
     result = score_split(model, variables, loaders["test"],
                          norm_scalar=norm_scalar,
                          one_pass=bool(getattr(args, "one_pass", False)))
@@ -87,6 +95,10 @@ def build_parser():
                    help="checkpoint directory written by train_dl")
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
+    p.add_argument("--dump_attention", type=str, default="",
+                   help="save the first test batch's attention weights "
+                        "(.npz) — per-step img/trend/multimodal alphas "
+                        "for the Demand model")
     p.add_argument("--dedup_images", type=int, default=1,
                    help="encode each unique product photo once per batch "
                         "(identical outputs; FLOPs / duplication factor)")

@@ -44,6 +44,14 @@ def run(args):
         size = export_forecaster(model, variables,
                                  next(iter(loaders["test"])), args.export)
         print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
+    if getattr(args, "dump_attention", ""):
+        from visuelle2_tpu.eval.forecast import dump_attention
+
+        keys = dump_attention(model, variables,
+                              next(iter(loaders["test"])),
+                              args.dump_attention)
+        print(f"Attention weights -> {args.dump_attention}: "
+              f"{keys if keys else 'model returns no attention aux'}")
     result = score_split(model, variables, loaders["test"],
                          norm_scalar=norm_scalar,
                          one_pass=bool(getattr(args, "one_pass", False)))
@@ -60,6 +68,9 @@ def build_parser(default_model="gtm"):
     p.add_argument("--ckpt_path", type=str, default="")
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
+    p.add_argument("--dump_attention", type=str, default="",
+                   help="save the first test batch's attention weights "
+                        "(.npz); gtm_v1's memory-only decoder returns them")
     # --dedup_images comes from the train parser (default 0 there); eval
     # dedup is identical-output, so it defaults ON for forecasting.
     p.set_defaults(dedup_images=1)

@@ -27,6 +27,31 @@ from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh
 from visuelle2_tpu.train.loop import expand_mask, target_and_pred
 
 
+def dump_attention(model, variables, batch, path: str):
+    """Save the model's aux attention weights for one batch as an ``.npz``.
+
+    The reference models return ``(forecast, attn_weights)`` and the Demand
+    model collects per-step img/trend/multimodal alphas
+    (``/root/reference/models/CrossAttnRNNDemand.py:280,293,321``) that its
+    forecast script then discards; here they are exposed for analysis.
+    Returns the list of saved keys, or None when the model has no attention
+    aux (e.g. the stock-transformer-decoder GTM family).
+    """
+    _, aux = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    if aux is None:
+        return None
+
+    def _name(p):
+        return "/".join(str(getattr(e, "key", getattr(e, "idx", e)))
+                        for e in p)
+
+    arrays = {_name(p): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(aux)}
+    np.savez(path, **arrays)
+    return sorted(arrays)
+
+
 @dataclasses.dataclass
 class ForecastResult:
     wape: float
