@@ -50,3 +50,68 @@ def test_export_rejects_wrong_file(tmp_path):
     p.write_bytes(b"not an export")
     with pytest.raises(AssertionError, match="not a visuelle2_tpu export"):
         load_forecaster(str(p))
+
+
+def test_http_server_serves_artifact(tmp_path):
+    """The stdlib HTTP server: full-batch and short-batch (auto-padded)
+    inference over the artifact match the direct call; bad input -> 400."""
+    import io
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    import jax
+
+    from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.eval.export import export_forecaster, load_forecaster
+    from visuelle2_tpu.eval.server import make_server
+    from visuelle2_tpu.models import VocabSizes, build
+
+    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+                  embedding_dim=16, hidden_dim=16, image_arch="tiny")
+    batch = _synthetic_batch(8, 32)
+    batch["mask"] = np.ones(8, np.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, batch, train=False)
+    path = str(tmp_path / "m.v2tpu")
+    export_forecaster(model, variables, batch, path)
+    fn, header = load_forecaster(path)
+
+    srv = make_server(fn, header, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(arrays):
+            buf = io.BytesIO()
+            np.savez(buf, **arrays)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/forecast", data=buf.getvalue(),
+                method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return np.load(io.BytesIO(r.read()))["forecast"]
+
+        want = np.asarray(fn(batch))
+        np.testing.assert_allclose(post(batch), want, atol=1e-5)
+
+        # Short batch: 3 rows -> server pads to 8, slices back to 3.
+        short = {k: np.asarray(v)[:3] for k, v in batch.items()}
+        got = post(short)
+        assert got.shape[0] == 3
+        np.testing.assert_allclose(got, want[:3], atol=1e-5)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["requests"] == 2 and "images" in h["keys"]
+
+        # Missing key -> 400 with the reason.
+        try:
+            post({"ts": batch["ts"]})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"missing keys" in e.read()
+    finally:
+        srv.shutdown()

@@ -24,6 +24,11 @@ from visuelle2_tpu.eval.export import load_forecaster
 def run(args):
     print(args)
     fn, header = load_forecaster(args.artifact)
+    if getattr(args, "http", 0):
+        # Artifact-only inference server — no dataset, no model code.
+        from visuelle2_tpu.eval.server import serve_forever
+
+        return serve_forever(fn, header, args.http)
     demand = bool(args.demand)
     output_len = 12 if demand else args.output_len
     loaders, _vocab, norm_scalar = build_loaders(
@@ -64,6 +69,10 @@ def build_parser():
                    help="serving artifact from forecast_*.py --export")
     p.add_argument("--demand", "--new_product", type=int, default=0)
     p.add_argument("--output_len", type=int, default=1)
+    p.add_argument("--http", type=int, default=0,
+                   help="serve the artifact over HTTP on this port instead "
+                        "of scoring a split (POST /forecast npz -> npz, "
+                        "GET /health)")
     return p
 
 
