@@ -76,6 +76,29 @@ def test_train_then_forecast_transformer_cli(synthetic_dataset, tmp_path):
     result = forecast_transformer.run(fc_args)
     assert np.isfinite(result.wape) and np.isfinite(result.mae)
 
+    # Dataset-free export: checkpoint -> artifact with a synthesized example
+    # batch (vocab read from label dicts here; --vocab c,l,f works without
+    # any dataset).  The artifact must load and run standalone.
+    from visuelle2_tpu.cli import export as export_cli
+    from visuelle2_tpu.eval.export import load_forecaster
+
+    out = str(tmp_path / "v4.v2tpu")
+    ex_args = export_cli.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--model", "gated_v4",
+        "--demand", "1", "--output_len", "12", "--batch_size", "16",
+        "--embedding_dim", "16", "--hidden_dim", "16",
+        "--image_arch", "tiny", "--image_size", "32", "--use_img", "0",
+        "--ckpt_path", str(tmp_path / "ckptv4"), "--out", out,
+    ])
+    assert export_cli.run(ex_args) == out
+    fn, header = load_forecaster(out)
+    from visuelle2_tpu.cli.common import build_loaders
+
+    loaders, _, _ = build_loaders(fc_args, demand=True, output_len=12,
+                                  splits=("test",))
+    got = np.asarray(fn(next(iter(loaders["test"]))))
+    assert got.shape == (16, 12) and np.all(np.isfinite(got))
+
 
 def test_train_then_forecast_gtm_v1_cli(synthetic_dataset, tmp_path):
     """gtm_v1 (original VISUELLE-1 GTM) end to end: ingest-time text
