@@ -35,10 +35,16 @@ def test_train_then_forecast_dl_cli(synthetic_dataset, tmp_path):
         "--image_arch", "tiny", "--image_size", "32",
         "--ckpt_path", str(tmp_path / "ckpt21"),
         "--export", str(tmp_path / "model.v2tpu"),
+        "--metrics_out", str(tmp_path / "metrics.json"),
     ])
     result = forecast_dl.run(fc_args)
     assert np.isfinite(result.wape) and np.isfinite(result.mae)
     assert result.forecasts_per_sec_per_chip > 0
+    import json
+
+    with open(tmp_path / "metrics.json") as f:
+        m = json.load(f)
+    assert m["wape"] == result.wape and m["num_forecasts"] > 0
 
     # Serving: the exported artifact alone reproduces the checkpoint's
     # metrics (no model code / checkpoint restore on the serve side).

@@ -55,6 +55,15 @@ def run(args):
     result = score_split(model, variables, loaders["test"],
                          norm_scalar=norm_scalar,
                          one_pass=bool(getattr(args, "one_pass", False)))
+    if getattr(args, "metrics_out", ""):
+        import json
+
+        with open(args.metrics_out, "w") as f:
+            json.dump({"wape": result.wape, "mae": result.mae,
+                       "num_forecasts": result.num_forecasts,
+                       "forecasts_per_sec_per_chip":
+                           result.forecasts_per_sec_per_chip,
+                       "gflops_per_sample": result.gflops_per_sample}, f)
     print(result.summary())
     print(f"WAPE: {result.wape}")
     print(f"MAE: {result.mae}")
@@ -74,6 +83,8 @@ def build_parser(default_model="gtm"):
     # --dedup_images comes from the train parser (default 0 there); eval
     # dedup is identical-output, so it defaults ON for forecasting.
     p.set_defaults(dedup_images=1)
+    p.add_argument("--metrics_out", type=str, default="",
+                   help="also write WAPE/MAE/throughput/GFLOPs as JSON")
     p.add_argument("--one_pass", action="store_true",
                    help="score the whole split in one jitted scan dispatch")
     return p
