@@ -440,3 +440,169 @@ def test_cross_attn_rnn_demand_gradient_matches_torch_autograd():
         np.testing.assert_allclose(
             np.asarray(flat_got[k]), np.asarray(flat_want[k]),
             atol=5e-5, rtol=1e-3, err_msg=k)
+
+
+def test_gated_v2_gradient_matches_torch_autograd():
+    """Backward parity for the hand-rolled gated attention: jax.grad
+    through HeadSpecificGatedAttention (encoder) and
+    PureGatedMultiheadAttention (decoder cross-attn) — sigmoid gates on
+    q-heads / concat output with the +2.0 bias init
+    (``Proposed_model_v2.py:546-602,643-690``) — vs torch autograd."""
+    from tests.test_whole_model_golden import (
+        _TorchPureGatedMHA,
+        _gated_mha_params,
+    )
+    from tests.torch_ref import mha_params
+
+    torch.manual_seed(47)
+    n = 4
+    batch = _batch(n=n, demand=True, seed=21)
+
+    cnn = _tiny_resnet().eval()
+    projection = torch.nn.Conv2d(2048, E, 1)
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    dummy_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    dummy_fusion = torch.nn.Linear(4 * E, E)
+    gt_input = torch.nn.Linear(3, E)
+    enc_sa = [_TorchPureGatedMHA(E, 4, head_gate=True) for _ in range(2)]
+    enc_norm = [[torch.nn.LayerNorm(E) for _ in range(2)] for _ in range(2)]
+    enc_ff = [(torch.nn.Linear(E, 2048), torch.nn.Linear(2048, E))
+              for _ in range(2)]
+    gate_fc = torch.nn.Linear(6 * E, 6 * E)
+    torch.nn.init.constant_(gate_fc.bias, 2.0)
+    fusion_fc = torch.nn.Linear(6 * E, E)
+    dec_sa = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    dec_ca = _TorchPureGatedMHA(E, 4)
+    dec_norm = [torch.nn.LayerNorm(E) for _ in range(3)]
+    dec_ff = (torch.nn.Linear(E, 4 * E), torch.nn.Linear(4 * E, E))
+    decoder_fc = torch.nn.Linear(E, 12)
+
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+
+    # ---- torch forward (grad-enabled) + backward.
+    mask = torch.full((52, 52), float("-inf"))
+    for i in range(0, 52, 4):
+        mask[i:i + 4, i:i + 4] = 0.0
+    g = gt_input(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+    src = g.permute(1, 0, 2) + pos[:, None, :]
+    for sa, (n1, n2), (l1, l2) in zip(enc_sa, enc_norm, enc_ff):
+        src = n1(src + sa(src, src, src, attn_mask=mask))
+        src = n2(src + l2(torch.relu(l1(src))))
+    memory = src
+
+    h_text = torch.stack([e(torch.tensor(batch[k].astype(np.int64)))
+                          for e, k in zip(embs, ("cat", "col", "fab",
+                                                 "store"))], dim=1)
+    feats = cnn(_normalized_images(batch["images"]))
+    h_img = projection(feats).mean(dim=(2, 3))
+    d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                   for i, l in enumerate(dummy_lins)], dim=1)
+    h_dummy = dummy_fusion(d)
+    h_sales = sales_gru(torch.zeros(n, 2, 1))[0][:, -1, :]
+
+    cat_f = torch.cat([h_img, h_text.reshape(n, -1), h_dummy], dim=1)
+    gated = cat_f + cat_f * torch.sigmoid(gate_fc(cat_f))
+    static_ctx = torch.relu(fusion_fc(gated))
+
+    tgt = (h_sales + static_ctx).unsqueeze(0)
+    t2 = dec_sa(tgt, tgt, tgt)[0]
+    tgt = dec_norm[0](tgt + t2)
+    tgt = dec_norm[1](tgt + dec_ca(tgt, memory, memory))
+    tgt = dec_norm[2](tgt + dec_ff[1](torch.relu(dec_ff[0](tgt))))
+    t_pred = decoder_fc(tgt).transpose(0, 1).reshape(n, 12)
+
+    target = torch.tensor(batch["ts"])
+    t_loss = torch.nn.functional.mse_loss(t_pred, target)
+    t_loss.backward()
+
+    def _ln(m):
+        return {"scale": t2n(m.weight), "bias": t2n(m.bias)}
+
+    def param_tree(cnn, projection, embs, sales_gru, dummy_lins,
+                   dummy_fusion, gt_input, enc_sa, enc_norm, enc_ff,
+                   gate_fc, fusion_fc, dec_sa, dec_ca, dec_norm, dec_ff,
+                   decoder_fc):
+        rn = _backbone_variables(cnn)
+        enc_layers = {}
+        for i, (sa, (n1, n2), (l1, l2)) in enumerate(
+                zip(enc_sa, enc_norm, enc_ff)):
+            enc_layers[f"layer{i}"] = {
+                "self_attn": _gated_mha_params(sa),
+                "ffn": {"linear1": linear_params(l1),
+                        "linear2": linear_params(l2)},
+                "norm1": _ln(n1), "norm2": _ln(n2),
+            }
+        return rn, {
+            "gtrend_encoder": {"input_linear": linear_params(gt_input),
+                               "encoder": enc_layers},
+            "text_encoder": {nm: _embedding_params(e)
+                             for nm, e in zip(("cat", "col", "fab", "store"),
+                                              embs)},
+            "image_encoder": {
+                "backbone": rn["params"],
+                "projection": {
+                    "kernel": np.transpose(t2n(projection.weight), (2, 3, 1, 0)),
+                    "bias": t2n(projection.bias)},
+            },
+            "dummy_encoder": dict(
+                {nm: linear_params(l)
+                 for nm, l in zip(("day", "week", "month", "year"),
+                                  dummy_lins)},
+                fusion=linear_params(dummy_fusion)),
+            "sales_encoder": {"gru": gru_params(sales_gru)},
+            "fusion": {"gate_fc": linear_params(gate_fc),
+                       "fusion_fc": linear_params(fusion_fc)},
+            "decoder": {"layer0": {
+                "self_attn": mha_params(dec_sa),
+                "cross_attn": _gated_mha_params(dec_ca),
+                "ffn": {"linear1": linear_params(dec_ff[0]),
+                        "linear2": linear_params(dec_ff[1])},
+                "norm1": _ln(dec_norm[0]), "norm2": _ln(dec_norm[1]),
+                "norm3": _ln(dec_norm[2]),
+            }},
+            "decoder_fc": linear_params(decoder_fc),
+        }
+
+    mods = (cnn, projection, embs, sales_gru, dummy_lins, dummy_fusion,
+            gt_input, enc_sa, enc_norm, enc_ff, gate_fc, fusion_fc, dec_sa,
+            dec_ca, dec_norm, dec_ff, decoder_fc)
+    rn, params = param_tree(*mods)
+
+    def shadow(m):
+        if isinstance(m, (list, tuple)):
+            return type(m)(shadow(x) for x in m)
+        return _grad_shadow(m)
+
+    _, want_grads = param_tree(*(shadow(m) for m in mods))
+
+    variables = jax.tree_util.tree_map(jnp.asarray, {
+        "params": params,
+        "batch_stats": {"image_encoder": {"backbone": rn["batch_stats"]}}})
+    model = build("gated_v2", vocab=VOCAB, output_len=12,
+                  embedding_dim=E, hidden_dim=E, image_arch="tiny")
+
+    def loss_fn(p):
+        pred, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch, train=False)
+        return jnp.mean((pred - jnp.asarray(batch["ts"])) ** 2)
+
+    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-5)
+
+    flat_want = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(want_grads)}
+    flat_got = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert set(flat_want) == set(flat_got)
+    for k in sorted(flat_want):
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_want[k]),
+            atol=5e-5, rtol=1e-3, err_msg=k)
