@@ -146,12 +146,19 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             def _stack(offset):
+                # Roll on HOST numpy, not eager jnp: an eager roll of a
+                # committed sharded array compiles a fresh multi-device
+                # program per call outside jit, a path that flakily
+                # SIGABRTs in XLA:CPU under the virtual 8-device mesh
+                # (observed ~40% in the test suite).  The probe only needs
+                # DISTINCT step inputs; where they live while being built
+                # is irrelevant.
                 sel = [jax.tree_util.tree_map(
-                    lambda x, i=i: jnp.roll(x, offset + i, axis=0),
+                    lambda x, i=i: np.roll(np.asarray(x), offset + i, axis=0),
                     batches[(offset + i) % len(batches)])
                     for i in range(timing_iters)]
                 stacked = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *sel)
+                    lambda *xs: np.stack(xs), *sel)
                 return jax.device_put(
                     stacked, NamedSharding(mesh, P(None, "data")))
 
