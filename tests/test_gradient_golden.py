@@ -606,3 +606,249 @@ def test_gated_v2_gradient_matches_torch_autograd():
         np.testing.assert_allclose(
             np.asarray(flat_got[k]), np.asarray(flat_want[k]),
             atol=5e-5, rtol=1e-3, err_msg=k)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("variant", ["gtm", "m4ft", "gated_v1", "gated_v3"])
+def test_seq2seq_variant_gradients_match_torch_autograd(variant):
+    """Backward parity for the remaining GTM-family variants: BN concat
+    fusion (gtm), hierarchical BN FusionBlocks (m4ft), R-GFN gated residual
+    blocks + gated cross-attn decoder (gated_v1), TARG context gates
+    (gated_v3) — torch loss.backward() vs jax.grad, every parameter."""
+    from tests.test_whole_model_golden import (
+        _TorchFusionBlock,
+        _bn_params,
+        _ln_params,
+    )
+    from tests.torch_ref import mha_params
+
+    torch.manual_seed(53)
+    n = 4
+    batch = _batch(n=n, demand=True, seed=29)
+    m4ft_style = variant in ("m4ft", "gated_v3")
+
+    cnn = _tiny_resnet().eval()
+    projection = torch.nn.Conv2d(2048, E, 1)
+    final_proj = torch.nn.Linear(E, E) if m4ft_style else None
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    text_proj = torch.nn.Linear(4 * E, E) if m4ft_style else None
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    temp_proj = torch.nn.Linear(4 * E, E)
+    gt_input = torch.nn.Linear(3, E)
+    enc_layers_t = [torch.nn.TransformerEncoderLayer(E, 4, dropout=0.2).eval()
+                    for _ in range(2)]
+    dec_layer = torch.nn.TransformerDecoderLayer(
+        E, 4, dim_feedforward=4 * E, dropout=0.1).eval()
+    decoder_fc = torch.nn.Linear(E, 12)
+
+    if variant == "gtm":
+        fus_bn = torch.nn.BatchNorm1d(6 * E).eval()
+        with torch.no_grad():
+            fus_bn.running_mean.uniform_(-0.3, 0.3)
+            fus_bn.running_var.uniform_(0.7, 1.3)
+        fus_fc1 = torch.nn.Linear(6 * E, 6 * E, bias=False)
+        fus_fc2 = torch.nn.Linear(6 * E, E)
+    elif variant == "m4ft":
+        blocks = {k: _TorchFusionBlock(E)
+                  for k in ("fusion_temp_text", "fusion_text_vis",
+                            "fusion_final")}
+    elif variant == "gated_v1":
+        gates = {k: (torch.nn.Linear(d, d), torch.nn.LayerNorm(d))
+                 for k, d in (("img_gate", E), ("text_gate", 4 * E),
+                              ("dummy_gate", E))}
+        fus_fc = torch.nn.Linear(6 * E, E)
+        v1_ca_mha = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+        v1_gate = torch.nn.Linear(E, E)
+        v1_sa = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+        v1_norm = [torch.nn.LayerNorm(E) for _ in range(3)]
+        v1_ff = (torch.nn.Linear(E, 4 * E), torch.nn.Linear(4 * E, E))
+    else:  # gated_v3
+        g1 = torch.nn.Linear(2 * E, E)
+        g2 = torch.nn.Linear(2 * E, E)
+        final_block = _TorchFusionBlock(E)
+
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+
+    # ---- torch forward (grad-enabled) + backward.
+    mask = torch.full((52, 52), float("-inf"))
+    for i in range(0, 52, 4):
+        mask[i:i + 4, i:i + 4] = 0.0
+    g = gt_input(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+    memory = g.permute(1, 0, 2) + pos[:, None, :]
+    for layer in enc_layers_t:
+        memory = layer(memory, src_mask=mask)
+
+    e_stack = torch.stack([e(torch.tensor(batch[k].astype(np.int64)))
+                           for e, k in zip(embs, ("cat", "col", "fab",
+                                                  "store"))], dim=1)
+    feats = cnn(_normalized_images(batch["images"]))
+    img_pooled = projection(feats).mean(dim=(2, 3))
+    d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                   for i, l in enumerate(temp_lins)], dim=1)
+    e_temp = temp_proj(d)
+    h_sales = sales_gru(torch.zeros(n, 2, 1))[0][:, -1, :]
+
+    if m4ft_style:
+        e_text = text_proj(e_stack.reshape(n, -1))
+        e_vis = final_proj(img_pooled)
+        if variant == "m4ft":
+            out_tt = blocks["fusion_temp_text"](e_temp + e_text)
+            out_tv = blocks["fusion_text_vis"](e_text + e_vis)
+            ctx = blocks["fusion_final"](
+                out_tt + out_tv + e_temp + e_text + e_vis)
+        else:
+            gate1 = torch.sigmoid(g1(torch.cat([e_text, e_vis], 1)))
+            gate2 = torch.sigmoid(g2(torch.cat([e_text, e_temp], 1)))
+            ctx = final_block(e_text + e_vis * gate1 + e_temp * gate2)
+    else:
+        text_flat = e_stack.reshape(n, -1)
+        if variant == "gtm":
+            cat_f = torch.cat([img_pooled, text_flat, e_temp], 1)
+            ctx = fus_fc2(torch.relu(fus_fc1(fus_bn(cat_f))))
+        else:
+            def grb(x, fc, norm):
+                return norm(x + x * torch.sigmoid(fc(x)))
+            cat_f = torch.cat([grb(img_pooled, *gates["img_gate"]),
+                               grb(text_flat, *gates["text_gate"]),
+                               grb(e_temp, *gates["dummy_gate"])], 1)
+            ctx = torch.relu(fus_fc(cat_f))
+
+    tgt = (h_sales + ctx).unsqueeze(0)
+    if variant == "gated_v1":
+        t2_ = v1_sa(tgt, tgt, tgt)[0]
+        x = v1_norm[0](tgt + t2_)
+        ca = v1_ca_mha(x, memory, memory)[0]
+        ca = ca * torch.sigmoid(v1_gate(x))
+        x = v1_norm[1](x + ca)
+        x = v1_norm[2](x + v1_ff[1](torch.relu(v1_ff[0](x))))
+        out = x
+    else:
+        out = dec_layer(tgt, memory)
+    t_pred = decoder_fc(out).transpose(0, 1).reshape(n, 12)
+
+    target = torch.tensor(batch["ts"])
+    t_loss = torch.nn.functional.mse_loss(t_pred, target)
+    t_loss.backward()
+
+    # ---- one param-tree builder applied to the live modules (weights) and
+    # to grad-shadows (expected gradients).
+    def param_tree(T):
+        rn = _backbone_variables(T(cnn))
+        img_params = {"backbone": rn["params"],
+                      "projection": {"kernel": np.transpose(
+                          t2n(T(projection).weight), (2, 3, 1, 0)),
+                          "bias": t2n(T(projection).bias)}}
+        if m4ft_style:
+            img_params["final_proj"] = linear_params(T(final_proj))
+            text_params = dict({nm: _embedding_params(T(e)) for nm, e in
+                                zip(("cat", "col", "fab", "store"), embs)},
+                               proj=linear_params(T(text_proj)))
+            temp_params = dict({nm: linear_params(T(l)) for nm, l in
+                                zip(("day", "week", "month", "year"),
+                                    temp_lins)},
+                               proj=linear_params(T(temp_proj)))
+            temp_key = "temporal_encoder"
+        else:
+            text_params = {nm: _embedding_params(T(e)) for nm, e in
+                           zip(("cat", "col", "fab", "store"), embs)}
+            temp_params = dict({nm: linear_params(T(l)) for nm, l in
+                                zip(("day", "week", "month", "year"),
+                                    temp_lins)},
+                               fusion=linear_params(T(temp_proj)))
+            temp_key = "dummy_encoder"
+
+        if variant == "gtm":
+            bn_p, _bn_s = _bn_params(T(fus_bn))
+            fusion_params = {"bn": bn_p, "fc1": linear_params(T(fus_fc1)),
+                             "fc2": linear_params(T(fus_fc2))}
+        elif variant == "m4ft":
+            fusion_params = {k: T(blk).params()[0]
+                             for k, blk in blocks.items()}
+        elif variant == "gated_v1":
+            fusion_params = {k: {"gate_fc": linear_params(T(fc)),
+                                 "norm": _ln_params(T(norm))}
+                             for k, (fc, norm) in gates.items()}
+            fusion_params["fusion_fc"] = linear_params(T(fus_fc))
+        else:
+            fusion_params = {"gate_fc1": linear_params(T(g1)),
+                             "gate_fc2": linear_params(T(g2)),
+                             "fusion_final": T(final_block).params()[0]}
+
+        if variant == "gated_v1":
+            dec_params = {"layer0": {
+                "self_attn": mha_params(T(v1_sa)),
+                "cross_attn": {"mha": mha_params(T(v1_ca_mha)),
+                               "gate_proj": linear_params(T(v1_gate))},
+                "ffn": {"linear1": linear_params(T(v1_ff[0])),
+                        "linear2": linear_params(T(v1_ff[1]))},
+                "norm1": _ln_params(T(v1_norm[0])),
+                "norm2": _ln_params(T(v1_norm[1])),
+                "norm3": _ln_params(T(v1_norm[2])),
+            }}
+        else:
+            dec_params = {"layer0": decoder_layer_params(T(dec_layer))}
+
+        return rn, {
+            "gtrend_encoder": {
+                "input_linear": linear_params(T(gt_input)),
+                "encoder": {f"layer{i}": encoder_layer_params(T(l))
+                            for i, l in enumerate(enc_layers_t)},
+            },
+            "text_encoder": text_params,
+            "image_encoder": img_params,
+            temp_key: temp_params,
+            "sales_encoder": {"gru": gru_params(T(sales_gru))},
+            "fusion": fusion_params,
+            "decoder": dec_params,
+            "decoder_fc": linear_params(T(decoder_fc)),
+        }
+
+    rn, params = param_tree(lambda m: m)
+    _, want_grads = param_tree(_grad_shadow)
+
+    batch_stats = {"image_encoder": {"backbone": rn["batch_stats"]}}
+    if variant == "gtm":
+        batch_stats["fusion"] = {"bn": _bn_params(fus_bn)[1]}
+    elif variant == "m4ft":
+        batch_stats["fusion"] = {k: blk.params()[1]
+                                 for k, blk in blocks.items()}
+    elif variant == "gated_v3":
+        batch_stats["fusion"] = {"fusion_final": final_block.params()[1]}
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, {"params": params, "batch_stats": batch_stats})
+
+    model = build(variant, vocab=VOCAB, output_len=12,
+                  embedding_dim=E, hidden_dim=E, image_arch="tiny")
+
+    def loss_fn(p):
+        pred, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch, train=False)
+        return jnp.mean((pred - jnp.asarray(batch["ts"])) ** 2)
+
+    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    # gated_v1 accumulates ~4e-5 relative loss noise through the gated
+    # cross-attention (forward goldens tolerate 1e-4 per element).
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-4)
+
+    flat_want = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(want_grads)}
+    flat_got = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert set(flat_want) == set(flat_got)
+    # gated_v1's sigmoid-gated residual/cross-attn chains carry the most
+    # f32 forward noise (see loss rtol above); its gradients inherit it.
+    atol = 2e-4 if variant == "gated_v1" else 5e-5
+    for k in sorted(flat_want):
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_want[k]),
+            atol=atol, rtol=1e-3, err_msg=k)
