@@ -55,6 +55,26 @@ def test_loader_dedup_batches_are_equivalent(arrays_and_store):
         np.testing.assert_array_equal(b["cat"][real], arrays.cat[rows])
 
 
+def test_loader_forced_image_slots(arrays_and_store):
+    """``image_slots=N`` pins the slot count exactly (serving an exported
+    dedup artifact must reproduce the exporting host's slot count regardless
+    of the local device topology — cli/serve.py); an insufficient forced
+    count is rejected up front."""
+    arrays, store = arrays_and_store
+    bs = 16
+    auto = BatchLoader(arrays, store, bs, native_prefetch=False,
+                       dedup_images=True)
+    forced = BatchLoader(arrays, store, bs, native_prefetch=False,
+                         dedup_images=True,
+                         image_slots=auto.image_slots + 3)
+    assert forced.image_slots == auto.image_slots + 3
+    for b in forced:
+        assert b["images"].shape[0] == forced.image_slots
+    with pytest.raises(ValueError, match="image_slots"):
+        BatchLoader(arrays, store, bs, native_prefetch=False,
+                    dedup_images=True, image_slots=1)
+
+
 @pytest.mark.parametrize("name", ["gated_v4", "cross_attn_rnn_demand"])
 def test_model_forward_identical_with_dedup(arrays_and_store, name):
     import jax

@@ -292,6 +292,17 @@ def test_fit_with_accumulation_converges(synthetic_dataset):
     assert losses[-1] < losses[0], losses
 
 
+def test_fit_rejects_accum_exceeding_epoch(synthetic_dataset):
+    """accum_steps > batches/epoch would silently drop every batch; fit
+    must reject it up front with a clear error, before any compilation."""
+    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
+    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
+    trainer = Trainer(model, TrainConfig(
+        epochs=1, batch_size=16, accum_steps=len(train_loader) + 1))
+    with pytest.raises(ValueError, match="accum_steps"):
+        trainer.fit(train_loader, val_loader)
+
+
 def test_fit_halts_on_nonfinite_loss(synthetic_dataset):
     """A NaN-poisoned state stops training at the first epoch instead of
     burning the remaining budget (TrainConfig.halt_on_nonfinite)."""

@@ -65,7 +65,8 @@ def build_loaders(args, *, demand: bool, output_len: int,
                   splits=("train", "test"),
                   text_features: bool = False,
                   dedup_eval_images: bool = False,
-                  dedup_train_images: bool = False) -> Tuple[dict, VocabSizes, float]:
+                  dedup_train_images: bool = False,
+                  dedup_image_slots: int = 0) -> Tuple[dict, VocabSizes, float]:
     """Returns ({split: BatchLoader}, vocab, norm_scalar).
 
     ``text_features=True`` runs the gtm_v1 ingest-time text featurizer
@@ -75,8 +76,12 @@ def build_loaders(args, *, demand: bool, output_len: int,
     (loader.py dedup_images) — identical outputs, backbone FLOPs divided by
     the product-photo duplication factor.  ``dedup_train_images`` does the
     same for the train loader via the grouped-shuffle sampler (per-row loss
-    and gradients unchanged; train-mode BatchNorm weights each unique photo
-    once — see loader.py)."""
+    and gradients unchanged up to BatchNorm statistics weighting each unique
+    photo once and rows sharing a photo seeing one shared dropout mask on
+    their image features — see loader.py).  ``dedup_image_slots`` forces the
+    exact slot count (e.g. serving an exported artifact whose signature
+    fixed it at export time) instead of deriving it from the local device
+    count."""
     cat_dict, col_dict, fab_dict = load_label_dicts(args.dataset_path)
     vocab = VocabSizes.from_dicts(cat_dict, col_dict, fab_dict)
     norm_scalar = load_norm_scalar(args.dataset_path)
@@ -111,7 +116,8 @@ def build_loaders(args, *, demand: bool, output_len: int,
             shuffle=(split == "train"), seed=args.seed,
             drop_remainder=(split == "train"), extras=extras,
             dedup_images=dedup,
-            image_slots_multiple=slots_multiple if dedup else 1)
+            image_slots_multiple=slots_multiple if dedup else 1,
+            image_slots=dedup_image_slots if dedup else 0)
     return loaders, vocab, norm_scalar
 
 

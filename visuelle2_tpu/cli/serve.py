@@ -31,9 +31,14 @@ def run(args):
         return serve_forever(fn, header, args.http)
     demand = bool(args.demand)
     output_len = 12 if demand else args.output_len
+    dedup = "img_idx" in header["keys"]
+    # A dedup artifact's signature fixed its image-slot count at export time
+    # (exporting host's device topology); build the loader with that exact
+    # count rather than recomputing from the local device count.
+    slots = int(header["shapes"]["images"][0]) if dedup else 0
     loaders, _vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=output_len, splits=("test",),
-        dedup_eval_images="img_idx" in header["keys"])
+        dedup_eval_images=dedup, dedup_image_slots=slots)
     loader = loaders["test"]
 
     err_sum = gt_sum = n_vals = n_forecasts = 0.0

@@ -39,7 +39,8 @@ class BatchLoader:
                  batch_size: int, *, shuffle: bool = False, seed: int = 21,
                  drop_remainder: bool = False, native_prefetch: bool = True,
                  extras: Optional[Dict[str, np.ndarray]] = None,
-                 dedup_images: bool = False, image_slots_multiple: int = 1):
+                 dedup_images: bool = False, image_slots_multiple: int = 1,
+                 image_slots: int = 0):
         self.arrays = arrays
         self.images = images
         self.batch_size = batch_size
@@ -61,9 +62,12 @@ class BatchLoader:
         # each group — a grouped sampler, vs the reference's uniform row
         # shuffle (train_dl.py:84).  Per-row losses and the gather's
         # scatter-add gradients are exactly those of the duplicate-encode
-        # batch; the one numerical deviation is train-mode BatchNorm, whose
-        # batch statistics weight each unique photo once instead of by its
-        # multiplicity.  Opt-in on the train CLIs for that reason.
+        # batch, up to two train-mode deviations: (a) BatchNorm batch
+        # statistics weight each unique photo once instead of by its
+        # multiplicity, and (b) dropout inside the image encoder runs before
+        # the img_idx gather, so rows sharing a photo see the SAME dropout
+        # mask on their image features (independent masks per row in the
+        # duplicate-encode batch).  Opt-in on the train CLIs for that reason.
         self.dedup_images = bool(dedup_images and images is not None)
         self.image_slots = 0
         if self.dedup_images:
@@ -86,8 +90,19 @@ class BatchLoader:
                 blocks = self._split_blocks(self._dedup_order)
                 slots = max((len(np.unique(images.image_indices(b)))
                              for b in blocks), default=1)
-            m = max(1, int(image_slots_multiple))
-            self.image_slots = -(-slots // m) * m
+            if image_slots:
+                # Forced slot count (e.g. serving an exported dedup artifact
+                # whose signature was compiled with the exporting host's slot
+                # count — cli/serve.py reads it from the artifact header, so
+                # the local device topology never changes the shapes).
+                if image_slots < slots:
+                    raise ValueError(
+                        f"image_slots={image_slots} < the {slots} unique-"
+                        f"image slots this split/batch-size requires")
+                self.image_slots = int(image_slots)
+            else:
+                m = max(1, int(image_slots_multiple))
+                self.image_slots = -(-slots // m) * m
         # Per-item side arrays gathered/padded alongside the batch (e.g.
         # gtm_v1's ingest-time text_features [N, 768]).
         self.extras = extras or {}

@@ -37,8 +37,27 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
     """
     keys = header["keys"]
     shapes = {k: tuple(v) for k, v in header.get("shapes", {}).items()}
+    # Export batch size (sample rows).  Window-flattened models
+    # (CrossAttnRNN210-style stfore) return [B*W, out_len] rather than a
+    # sample-leading axis (models/cross_attn_rnn.py:270), so short-batch
+    # responses must be sliced per SAMPLE, not per output row.
+    batch_rows = shapes.get("mask", (0,))[0]
     lock = threading.Lock()
     stats = {"requests": 0}
+
+    def slice_rows(out, n):
+        """Slice a model output back to the client's ``n`` real samples."""
+        if n is None or n == out.shape[0]:
+            return out
+        if batch_rows and out.shape[0] != batch_rows:
+            if out.shape[0] % batch_rows:
+                raise ValueError(
+                    f"forecast rows {out.shape[0]} not a multiple of the "
+                    f"export batch {batch_rows}; cannot slice to {n} samples")
+            w = out.shape[0] // batch_rows  # windows per sample
+            lead = out.reshape((batch_rows, w) + out.shape[1:])[:n]
+            return lead.reshape((n * w,) + out.shape[1:])
+        return out[:n]
 
     def run_batch(arrays):
         missing = set(keys) - set(arrays)
@@ -65,7 +84,7 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
         with lock:
             out = np.asarray(forecast_fn(padded))
             stats["requests"] += 1
-        return out if n is None else out[:n]
+        return slice_rows(out, n)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

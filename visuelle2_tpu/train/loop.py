@@ -340,6 +340,12 @@ class Trainer:
         the remaining epochs (a resume that restarts at 0 double-trains).
         The per-step rng stream continues correctly either way: train_step
         folds the restored global ``state.step`` into the seed."""
+        A = self.config.accum_steps
+        if A > 1 and A > len(train_loader):
+            raise ValueError(
+                f"accum_steps={A} exceeds the {len(train_loader)} train "
+                f"batches per epoch — every epoch would drop its only "
+                f"(partial) group and train on nothing")
         if state is None:
             state = self.init_state(next(iter(train_loader)))
         rng = jax.random.key(self.config.seed + 1000)
