@@ -442,6 +442,438 @@ def test_cross_attn_rnn_demand_gradient_matches_torch_autograd():
             atol=5e-5, rtol=1e-3, err_msg=k)
 
 
+def test_cross_attn_rnn_210_gradient_matches_torch_autograd():
+    """Backward parity through the SO-fore 2-10 decode scan: jax.grad
+    through the sales-GRU-initialized 10-step ``nn.scan`` with own-pred
+    feedback (the recurrent gradient chain the TF branch would cut) vs
+    torch autograd through the reference loop
+    (``CrossAttnRNN210.py:191-226``), TF off (eval semantics)."""
+    from tests.test_whole_model_golden import _additive, _additive_params
+    from tests.torch_ref import mha_params
+
+    torch.manual_seed(59)
+    n, W, T = 4, 1, 10
+    batch = _batch(n=n, windows=W, horizon=T, seed=33)
+
+    cnn = _tiny_resnet().eval()
+    img_fc = torch.nn.Linear(2048, E)
+    trend_gru = torch.nn.GRU(3, E, batch_first=True)
+    temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    adds = {k: (torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, 1)) for k in ("img", "ts", "mm")}
+    trend_linear = torch.nn.Linear(52 * E, E)
+    mm_embedder = torch.nn.Linear(E, E)
+    dec_gru = torch.nn.GRU(E + 1, E, batch_first=True)
+    decoder_fc = torch.nn.Linear(E, 1)
+
+    # ---- torch forward (grad-enabled) + backward through the decode loop.
+    X = torch.tensor(batch["X"]).reshape(n * W, 2, 1)
+    feats = cnn(_normalized_images(batch["images"]))
+    img_enc = img_fc(feats.flatten(2).permute(0, 2, 1))
+    trend_enc = trend_gru(torch.tensor(batch["gtrends"]).permute(0, 2, 1))[0]
+    dummy = sum(l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                for i, l in enumerate(temp_lins))
+    attr = sum(e(torch.tensor(batch[k].astype(np.int64)))
+               for e, k in zip(embs, ("cat", "col", "fab", "store")))
+    trend_sa = self_attn(*([trend_enc.permute(1, 0, 2)] * 3))[0]
+    trend_sa = trend_sa.permute(1, 0, 2)
+
+    _, h = sales_gru(X)
+    hidden = h.squeeze(0)
+    dec_out = X[:, -1, :].unsqueeze(1)  # last observed sale [N, 1, 1]
+    outs = []
+    for _t in range(T):
+        a_img, _ = _additive(*adds["img"], img_enc, hidden)
+        a_img = a_img.sum(1)
+        a_tr, _ = _additive(*adds["ts"], trend_sa, hidden)
+        a_tr = trend_linear(a_tr.reshape(n * W, -1))
+        mm_in = torch.stack([dummy, a_img, attr, a_tr], dim=1)
+        a_mm, _ = _additive(*adds["mm"], mm_in, hidden)
+        ctx = mm_embedder((mm_in + a_mm).sum(1))
+        x = torch.cat([ctx.unsqueeze(1), dec_out], dim=2)
+        out, h2 = dec_gru(x, hidden.unsqueeze(0))
+        hidden = h2.squeeze(0)
+        dec_out = decoder_fc(out)  # fed back: grads chain through all steps
+        outs.append(dec_out[:, 0, 0])
+    t_pred = torch.stack(outs, dim=1)  # [N, 10]
+
+    target = torch.tensor(batch["y"]).reshape(n * W, T)
+    t_loss = torch.nn.functional.mse_loss(t_pred, target)
+    t_loss.backward()
+
+    temp_names = ("day", "week", "month", "year")
+
+    def param_tree(cnn, img_fc, trend_gru, temp_lins, embs, sales_gru,
+                   self_attn, adds, trend_linear, mm_embedder, dec_gru,
+                   decoder_fc):
+        rn = _backbone_variables(cnn)
+        return rn, {
+            "static": {
+                "image_encoder": {"backbone": rn["params"],
+                                  "fc": linear_params(img_fc)},
+                "trend_encoder": {"gru": gru_params(trend_gru)},
+                "temp_encoder": {nm: linear_params(l)
+                                 for nm, l in zip(temp_names, temp_lins)},
+                "attribute_encoder": {
+                    nm: _embedding_params(e)
+                    for nm, e in zip(("cat", "col", "fab", "store"), embs)},
+            },
+            "ts_self_attention": mha_params(self_attn),
+            "sales_encoder_gru": gru_params(sales_gru),
+            "decoder": {
+                "fusion": {
+                    "img_attention": _additive_params(*adds["img"]),
+                    "ts_attention": _additive_params(*adds["ts"]),
+                    "multimodal_attention": _additive_params(*adds["mm"]),
+                    "trend_linear": linear_params(trend_linear),
+                    "multimodal_embedder": linear_params(mm_embedder),
+                },
+                "decoder_cell": gru_params(dec_gru),
+                "decoder_fc": linear_params(decoder_fc),
+            },
+        }
+
+    def shadow_adds(a):
+        return {k: tuple(_grad_shadow(l) for l in v) for k, v in a.items()}
+
+    rn, params = param_tree(cnn, img_fc, trend_gru, temp_lins, embs,
+                            sales_gru, self_attn, adds, trend_linear,
+                            mm_embedder, dec_gru, decoder_fc)
+    _, want_grads = param_tree(
+        _grad_shadow(cnn), _grad_shadow(img_fc), _grad_shadow(trend_gru),
+        [_grad_shadow(l) for l in temp_lins], [_grad_shadow(e) for e in embs],
+        _grad_shadow(sales_gru), _grad_shadow(self_attn), shadow_adds(adds),
+        _grad_shadow(trend_linear), _grad_shadow(mm_embedder),
+        _grad_shadow(dec_gru), _grad_shadow(decoder_fc))
+
+    variables = jax.tree_util.tree_map(jnp.asarray, {
+        "params": params,
+        "batch_stats": {"static": {"image_encoder": {
+            "backbone": rn["batch_stats"]}}}})
+    model = build("cross_attn_rnn_210", vocab=VOCAB, out_len=T,
+                  attention_dim=E, embedding_dim=E, hidden_dim=E,
+                  image_arch="tiny", use_teacher_forcing=False)
+
+    def loss_fn(p):
+        pred, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch, train=False)
+        return jnp.mean((pred - jnp.asarray(target.numpy())) ** 2)
+
+    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-5)
+
+    flat_want = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(want_grads)}
+    flat_got = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert set(flat_want) == set(flat_got)
+    for k in sorted(flat_want):
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_want[k]),
+            atol=5e-5, rtol=1e-3, err_msg=k)
+
+
+def test_cross_attn_rnn_210_teacher_forced_gradient(monkeypatch):
+    """Backward parity through the TEACHER-FORCED scan: coins forced
+    deterministic (ratio=1.0 -> Bernoulli always true), so every decode step
+    consumes the ground-truth sale and the TF branch of the ``jnp.where``
+    input-select carries the gradient cut (``CrossAttnRNN210.py:216-225``).
+    TF only activates in train mode, which would also enable dropout; the
+    test neutralizes dropout on both sides (flax ``nn.Dropout`` -> identity,
+    MHA prob-dropout -> deterministic; torch modules stay ``.eval()``) and
+    drops the image branch (``use_img=False``) so no train-mode BatchNorm
+    is involved — the scheduled-sampling wiring is the subject here."""
+    import flax.linen as fnn
+
+    from tests.test_whole_model_golden import _additive, _additive_params
+    from tests.torch_ref import mha_params
+    from visuelle2_tpu.ops import attention as attention_mod
+
+    # Neutralize dropout deterministically on the jax side.
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        lambda self, inputs, deterministic=True, rng=None: inputs)
+    orig_dot = attention_mod._dot_attention
+    monkeypatch.setattr(
+        attention_mod, "_dot_attention",
+        lambda q, k, v, *, scale, mask=None, dropout_rate=0.0,
+        deterministic=True, dropout_rng=None:
+        orig_dot(q, k, v, scale=scale, mask=mask, dropout_rate=0.0,
+                 deterministic=True))
+
+    torch.manual_seed(61)
+    n, W, T = 4, 1, 10
+    batch = _batch(n=n, windows=W, horizon=T, seed=37)
+
+    trend_gru = torch.nn.GRU(3, E, batch_first=True)
+    temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    self_attn = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    adds = {k: (torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, 1)) for k in ("ts", "mm")}
+    trend_linear = torch.nn.Linear(52 * E, E)
+    mm_embedder = torch.nn.Linear(E, E)
+    dec_gru = torch.nn.GRU(E + 1, E, batch_first=True)
+    decoder_fc = torch.nn.Linear(E, 1)
+
+    # ---- torch: decode loop with ground truth fed at EVERY step.
+    X = torch.tensor(batch["X"]).reshape(n * W, 2, 1)
+    y_flat = torch.tensor(batch["y"]).reshape(n * W, T)
+    trend_enc = trend_gru(torch.tensor(batch["gtrends"]).permute(0, 2, 1))[0]
+    dummy = sum(l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                for i, l in enumerate(temp_lins))
+    attr = sum(e(torch.tensor(batch[k].astype(np.int64)))
+               for e, k in zip(embs, ("cat", "col", "fab", "store")))
+    trend_sa = self_attn(*([trend_enc.permute(1, 0, 2)] * 3))[0]
+    trend_sa = trend_sa.permute(1, 0, 2)
+
+    _, h = sales_gru(X)
+    hidden = h.squeeze(0)
+    dec_out = X[:, -1, :].unsqueeze(1)
+    outs = []
+    for t in range(T):
+        a_tr, _ = _additive(*adds["ts"], trend_sa, hidden)
+        a_tr = trend_linear(a_tr.reshape(n * W, -1))
+        mm_in = torch.stack([dummy, attr, a_tr], dim=1)  # no img token
+        a_mm, _ = _additive(*adds["mm"], mm_in, hidden)
+        ctx = mm_embedder((mm_in + a_mm).sum(1))
+        x = torch.cat([ctx.unsqueeze(1), dec_out], dim=2)
+        out, h2 = dec_gru(x, hidden.unsqueeze(0))
+        hidden = h2.squeeze(0)
+        outs.append(decoder_fc(out)[:, 0, 0])
+        # TF (coin true): next input is the ground-truth sale for step t.
+        dec_out = y_flat[:, t].detach()[:, None, None]
+    t_pred = torch.stack(outs, dim=1)
+
+    t_loss = torch.nn.functional.mse_loss(t_pred, y_flat)
+    t_loss.backward()
+
+    temp_names = ("day", "week", "month", "year")
+
+    def param_tree(trend_gru, temp_lins, embs, sales_gru, self_attn, adds,
+                   trend_linear, mm_embedder, dec_gru, decoder_fc):
+        return {
+            "static": {
+                "trend_encoder": {"gru": gru_params(trend_gru)},
+                "temp_encoder": {nm: linear_params(l)
+                                 for nm, l in zip(temp_names, temp_lins)},
+                "attribute_encoder": {
+                    nm: _embedding_params(e)
+                    for nm, e in zip(("cat", "col", "fab", "store"), embs)},
+            },
+            "ts_self_attention": mha_params(self_attn),
+            "sales_encoder_gru": gru_params(sales_gru),
+            "decoder": {
+                "fusion": {
+                    "ts_attention": _additive_params(*adds["ts"]),
+                    "multimodal_attention": _additive_params(*adds["mm"]),
+                    "trend_linear": linear_params(trend_linear),
+                    "multimodal_embedder": linear_params(mm_embedder),
+                },
+                "decoder_cell": gru_params(dec_gru),
+                "decoder_fc": linear_params(decoder_fc),
+            },
+        }
+
+    def shadow_adds(a):
+        return {k: tuple(_grad_shadow(l) for l in v) for k, v in a.items()}
+
+    params = param_tree(trend_gru, temp_lins, embs, sales_gru, self_attn,
+                        adds, trend_linear, mm_embedder, dec_gru, decoder_fc)
+    want_grads = param_tree(
+        _grad_shadow(trend_gru), [_grad_shadow(l) for l in temp_lins],
+        [_grad_shadow(e) for e in embs], _grad_shadow(sales_gru),
+        _grad_shadow(self_attn), shadow_adds(adds),
+        _grad_shadow(trend_linear), _grad_shadow(mm_embedder),
+        _grad_shadow(dec_gru), _grad_shadow(decoder_fc))
+
+    variables = jax.tree_util.tree_map(jnp.asarray, {"params": params})
+    model = build("cross_attn_rnn_210", vocab=VOCAB, out_len=T,
+                  attention_dim=E, embedding_dim=E, hidden_dim=E,
+                  use_img=False, image_arch="tiny",
+                  use_teacher_forcing=True, teacher_forcing_ratio=1.0)
+
+    def loss_fn(p):
+        pred, _ = model.apply(
+            {"params": p}, batch, train=True,
+            rngs={"dropout": jax.random.key(0),
+                  "sampling": jax.random.key(1)})
+        return jnp.mean((pred - jnp.asarray(y_flat.numpy())) ** 2)
+
+    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-5)
+
+    flat_want = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(want_grads)}
+    flat_got = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert set(flat_want) == set(flat_got)
+    for k in sorted(flat_want):
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_want[k]),
+            atol=5e-5, rtol=1e-3, err_msg=k)
+
+
+def test_gtm_v1_gradient_matches_torch_autograd():
+    """Backward parity for gtm_v1's two structural one-offs: the FULLY
+    frozen image tower (``GTM.py:155-175`` — ``stop_gradient`` in jax must
+    equal requires_grad(False) in torch: exactly-zero backbone grads, with
+    the pooled-feature path still feeding nonzero fusion grads) and the
+    memory-only decoder layer without self-attention (``GTM.py:199-232``)."""
+    from tests.test_whole_model_golden import _bn_params, _ln_params
+    from tests.torch_ref import decoder_layer_params, encoder_layer_params
+
+    torch.manual_seed(67)
+    n = 4
+    batch = _batch(n=n, demand=True, seed=41)
+    rng = np.random.default_rng(43)
+    batch["text_features"] = rng.standard_normal((n, 768)).astype(np.float32)
+
+    cnn = _tiny_resnet().eval()
+    cnn.requires_grad_(False)  # frozen tower: no backbone grads, like jax
+    text_fc = torch.nn.Linear(768, E)
+    dummy_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    dummy_fusion = torch.nn.Linear(4 * E, E)
+    gt_input = torch.nn.Linear(3, E)
+    enc_layers_t = [torch.nn.TransformerEncoderLayer(E, 4, dropout=0.2).eval()
+                    for _ in range(2)]
+    img_linear = torch.nn.Linear(2048, E)
+    fus_bn = torch.nn.BatchNorm1d(3 * E).eval()
+    with torch.no_grad():
+        fus_bn.running_mean.uniform_(-0.3, 0.3)
+        fus_bn.running_var.uniform_(0.7, 1.3)
+    fus_fc1 = torch.nn.Linear(3 * E, 3 * E, bias=False)
+    fus_fc2 = torch.nn.Linear(3 * E, E)
+    dec_ca = torch.nn.MultiheadAttention(E, 4, dropout=0.1).eval()
+    dec_l1, dec_l2 = torch.nn.Linear(E, 4 * E), torch.nn.Linear(4 * E, E)
+    dec_n2, dec_n3 = torch.nn.LayerNorm(E), torch.nn.LayerNorm(E)
+    decoder_fc = torch.nn.Linear(E, 12)
+
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+
+    # ---- torch forward (grad-enabled) + backward.
+    mask = torch.full((52, 52), float("-inf"))
+    for i in range(0, 52, 4):  # gcd(52, 12) = 4 block mask
+        mask[i:i + 4, i:i + 4] = 0.0
+    g = gt_input(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+    memory = g.permute(1, 0, 2) + pos[:, None, :]
+    for layer in enc_layers_t:
+        memory = layer(memory, src_mask=mask)
+
+    feats = cnn(_normalized_images(batch["images"]))
+    text = text_fc(torch.tensor(batch["text_features"]))
+    d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                   for i, l in enumerate(dummy_lins)], dim=1)
+    dummy = dummy_fusion(d)
+    condensed = img_linear(feats.mean(dim=(2, 3)))
+    cat_f = torch.cat([condensed, text, dummy], dim=1)
+    ctx = fus_fc2(torch.relu(fus_fc1(fus_bn(cat_f))))
+
+    tgt = ctx.unsqueeze(0)
+    t2_, _ = dec_ca(tgt, memory, memory)
+    x = dec_n2(tgt + t2_)
+    x = dec_n3(x + dec_l2(torch.relu(dec_l1(x))))
+    t_pred = decoder_fc(x[0]).reshape(n, 12)
+
+    target = torch.tensor(batch["ts"])
+    t_loss = torch.nn.functional.mse_loss(t_pred, target)
+    t_loss.backward()
+
+    from tests.torch_ref import mha_params
+
+    def param_tree(cnn, text_fc, dummy_lins, dummy_fusion, gt_input,
+                   enc_layers_t, img_linear, fus_bn, fus_fc1, fus_fc2,
+                   dec_ca, dec_l1, dec_l2, dec_n2, dec_n3, decoder_fc):
+        rn = _backbone_variables(cnn)
+        return rn, {
+            "image_encoder": {"backbone": rn["params"]},
+            "text_fc": linear_params(text_fc),
+            "dummy_encoder": dict(
+                {nm: linear_params(l)
+                 for nm, l in zip(("day", "week", "month", "year"),
+                                  dummy_lins)},
+                fusion=linear_params(dummy_fusion)),
+            "gtrend_encoder": {
+                "input_linear": linear_params(gt_input),
+                "encoder": {f"layer{i}": encoder_layer_params(l)
+                            for i, l in enumerate(enc_layers_t)},
+            },
+            "static_feature_encoder": {
+                "img_linear": linear_params(img_linear),
+                "bn": _bn_params(fus_bn)[0],
+                "fc1": linear_params(fus_fc1),
+                "fc2": linear_params(fus_fc2),
+            },
+            "decoder0": {
+                "multihead_attn": mha_params(dec_ca),
+                "linear1": linear_params(dec_l1),
+                "linear2": linear_params(dec_l2),
+                "norm2": _ln_params(dec_n2),
+                "norm3": _ln_params(dec_n3),
+            },
+            "decoder_fc": linear_params(decoder_fc),
+        }
+
+    mods = (cnn, text_fc, dummy_lins, dummy_fusion, gt_input, enc_layers_t,
+            img_linear, fus_bn, fus_fc1, fus_fc2, dec_ca, dec_l1, dec_l2,
+            dec_n2, dec_n3, decoder_fc)
+    rn, params = param_tree(*mods)
+    shadow = tuple(
+        [_grad_shadow(x) for x in m] if isinstance(m, list)
+        else _grad_shadow(m) for m in mods)
+    _, want_grads = param_tree(*shadow)
+
+    variables = jax.tree_util.tree_map(jnp.asarray, {
+        "params": params,
+        "batch_stats": {
+            "image_encoder": {"backbone": rn["batch_stats"]},
+            "static_feature_encoder": {"bn": _bn_params(fus_bn)[1]},
+        }})
+
+    from visuelle2_tpu.models.gtm_v1 import GTMv1
+
+    model = GTMv1(embedding_dim=E, hidden_dim=E, output_len=12,
+                  image_arch="tiny")
+
+    def loss_fn(p):
+        pred, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch, train=False)
+        return jnp.mean((pred - jnp.asarray(batch["ts"])) ** 2)
+
+    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-5)
+
+    flat_want = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(want_grads)}
+    flat_got = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert set(flat_want) == set(flat_got)
+    # The frozen tower must contribute EXACTLY zero gradient (stop_gradient
+    # vs requires_grad(False)), not merely matching small values.
+    bb = [k for k in flat_got if "backbone" in k]
+    assert bb and all(not np.any(np.asarray(flat_got[k])) for k in bb)
+    for k in sorted(flat_want):
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_want[k]),
+            atol=5e-5, rtol=1e-3, err_msg=k)
+
+
 def test_gated_v2_gradient_matches_torch_autograd():
     """Backward parity for the hand-rolled gated attention: jax.grad
     through HeadSpecificGatedAttention (encoder) and
