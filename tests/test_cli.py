@@ -151,11 +151,26 @@ def test_score_split_one_pass_matches_batched(synthetic_dataset):
                            next(iter(loader)), train=False)
     mesh = make_mesh(data=8, model=1)
     r1 = score_split(model, variables, loader, mesh=mesh,
-                     measure_throughput=False)
+                     measure_throughput=False, one_pass=False)
     r2 = score_split(model, variables, loader, mesh=mesh,
                      measure_throughput=False, one_pass=True)
     assert abs(r1.wape - r2.wape) < 1e-3
     assert abs(r1.mae - r2.mae) < 1e-4
+
+    # Default (auto): small splits go one-pass; a split whose stacked bytes
+    # exceed the HBM budget falls back to the per-batch loop.  Both rails
+    # of the auto decision must land on the same metrics.
+    from unittest import mock
+
+    from visuelle2_tpu.eval import forecast as forecast_mod
+
+    r_auto = score_split(model, variables, loader, mesh=mesh,
+                         measure_throughput=False)
+    assert abs(r_auto.wape - r2.wape) < 1e-3
+    with mock.patch.object(forecast_mod, "ONE_PASS_HBM_BUDGET_BYTES", 1):
+        r_fallback = forecast_mod.score_split(
+            model, variables, loader, mesh=mesh, measure_throughput=False)
+    assert abs(r_fallback.wape - r1.wape) < 1e-3
 
 
 def test_forecast_accepts_step_path(synthetic_dataset, tmp_path):

@@ -71,9 +71,10 @@ def run(args):
                               args.dump_attention)
         print(f"Attention weights -> {args.dump_attention}: "
               f"{keys if keys else 'model returns no attention aux'}")
+    op = getattr(args, "one_pass", "auto")
     result = score_split(model, variables, loaders["test"],
                          norm_scalar=norm_scalar,
-                         one_pass=bool(getattr(args, "one_pass", False)))
+                         one_pass=None if op == "auto" else bool(int(op)))
     if getattr(args, "metrics_out", ""):
         import json
 
@@ -113,8 +114,12 @@ def build_parser():
                         "(identical outputs; FLOPs / duplication factor)")
     p.add_argument("--metrics_out", type=str, default="",
                    help="also write WAPE/MAE/throughput/GFLOPs as JSON")
-    p.add_argument("--one_pass", action="store_true",
-                   help="score the whole split in one jitted scan dispatch")
+    p.add_argument("--one_pass", choices=["auto", "0", "1"], default="auto",
+                   help="score the whole split in one jitted scan dispatch "
+                        "(the north-star mode). Default 'auto': one-pass "
+                        "unless the stacked split exceeds the documented "
+                        "HBM budget (eval/forecast.py "
+                        "ONE_PASS_HBM_BUDGET_BYTES), then per-batch loop")
     return p
 
 

@@ -70,20 +70,38 @@ class ForecastResult:
         return ", ".join(parts)
 
 
+# One-pass eval keeps the WHOLE split resident in HBM next to the params.
+# v5e-class chips have 16 GiB; leaving headroom for weights, activations and
+# XLA workspace, splits whose stacked input bytes exceed this budget fall
+# back to the per-batch compiled loop (identical metrics, lower peak memory).
+ONE_PASS_HBM_BUDGET_BYTES = 4 << 30
+
+
 def score_split(model, variables, loader: BatchLoader, *, mesh=None,
                 norm_scalar: float = 53.0, measure_throughput: bool = True,
-                timing_iters: int = 5, one_pass: bool = False) -> ForecastResult:
+                timing_iters: int = 5,
+                one_pass: Optional[bool] = None) -> ForecastResult:
     """Score a test split.
 
     ``one_pass=True`` stacks every batch and scores the ENTIRE split in a
     single jitted ``lax.scan`` dispatch — the split stays resident in HBM,
     sharded over the mesh's ``data`` axis, with zero per-batch host round
-    trips (the north-star single-pass mode).  Default mode reuses one
-    compiled step per batch (lower peak memory).
+    trips (the north-star single-pass mode, and the DEFAULT).
+    ``one_pass=None`` (auto) picks one-pass unless the split's stacked
+    input bytes exceed ``ONE_PASS_HBM_BUDGET_BYTES``; ``False`` forces the
+    per-batch compiled loop (lower peak memory, same metrics).
     """
     mesh = mesh if mesh is not None else make_mesh(model=1)
     sharding = batch_sharding(mesh)
     n_chips = mesh.devices.size
+
+    if one_pass is None:
+        if len(loader) == 0:
+            one_pass = False
+        else:
+            est = (sum(np.asarray(v).nbytes
+                       for v in next(iter(loader)).values()) * len(loader))
+            one_pass = est <= ONE_PASS_HBM_BUDGET_BYTES
 
     @jax.jit
     def eval_step(variables, batch):
