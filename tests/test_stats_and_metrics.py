@@ -86,3 +86,58 @@ def test_holt_longer_window_tracks_linear_trend():
 
     f = np.asarray(_holt_fit_forecast(x, 3))
     np.testing.assert_allclose(f, [9.0, 10.0, 11.0], rtol=1e-3)
+
+
+def test_holt_t_gt_2_grid_approximation_pinned():
+    """ops/stats.py:100-125: for T>2 windows Holt is a fixed-init (α,β) SSE
+    grid, NOT statsmodels' MLE fit (``Oracle.py:52``) — exact only for the
+    production 2-week windows.  Two pins so the approximation can neither
+    silently drift nor silently degrade: (a) recorded regression constants,
+    (b) a bound vs an exact SSE-minimizing oracle (scipy Nelder-Mead over
+    free smoothing params AND free initial state): forecasts agree within
+    8% of the series' max magnitude."""
+    import jax.numpy as jnp
+    from scipy.optimize import minimize
+
+    from visuelle2_tpu.ops.stats import _holt_fit_forecast
+
+    cases = {
+        # series -> recorded _holt_fit_forecast(x, 3) output (regression pin)
+        (3., 5., 4., 7., 8., 6., 9., 11.): (11.027882, 12.065744, 13.103607),
+        (10., 8., 9., 5., 6., 3.): (2.3724356, 1.3310277, 0.28961992),
+    }
+
+    def holt_sse_state(x, a, b, l0, b0):
+        l, tr, sse = l0, b0, 0.0
+        for xt in x:
+            sse += (xt - (l + tr)) ** 2
+            l2 = a * xt + (1 - a) * (l + tr)
+            tr = b * (l2 - l) + (1 - b) * tr
+            l = l2
+        return sse, l, tr
+
+    for series, recorded in cases.items():
+        x = np.asarray(series, np.float32)
+        got = np.asarray(_holt_fit_forecast(jnp.asarray(x), 3))
+        np.testing.assert_allclose(got, recorded, rtol=1e-4)
+
+        def obj(p, x=x):
+            a = 1 / (1 + np.exp(-np.clip(p[0], -30, 30)))
+            b = 1 / (1 + np.exp(-np.clip(p[1], -30, 30)))
+            return holt_sse_state(x, a, b, p[2], p[3])[0]
+
+        best = None
+        for seed in range(6):
+            r = np.random.default_rng(seed)
+            p0 = np.concatenate([r.normal(0, 1, 2), [x[0], x[1] - x[0]]])
+            res = minimize(obj, p0, method="Nelder-Mead",
+                           options={"maxiter": 4000, "xatol": 1e-10,
+                                    "fatol": 1e-12})
+            if best is None or res.fun < best.fun:
+                best = res
+        a = 1 / (1 + np.exp(-best.x[0]))
+        b = 1 / (1 + np.exp(-best.x[1]))
+        _, lT, bT = holt_sse_state(x, a, b, best.x[2], best.x[3])
+        oracle = lT + np.arange(1, 4) * bT
+        scale = np.abs(x).max()
+        assert np.abs(got - oracle).max() < 0.08 * scale, (got, oracle)

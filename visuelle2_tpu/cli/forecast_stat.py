@@ -42,7 +42,13 @@ def build_parser():
     p = argparse.ArgumentParser()
     add_common_args(p)
     p.add_argument("--method", type=str, default="naive",
-                   choices=["naive", "ses", "holt"])
+                   choices=["naive", "ses", "holt"],
+                   help="holt is exact for the production 2-week windows "
+                        "(closed-form linear extrapolation); for longer "
+                        "windows it is a fixed-init (alpha,beta) SSE-grid "
+                        "fit, an approximation of statsmodels' MLE "
+                        "(ops/stats.py; pinned by "
+                        "tests/test_stats_and_metrics.py)")
     p.add_argument("--use_teacher_forcing", type=int, default=1)
     p.add_argument("--trend_len", type=int, default=52)
     p.add_argument("--output_len", type=int, default=1)

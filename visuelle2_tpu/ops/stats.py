@@ -19,6 +19,11 @@ Semantics matched to the reference:
   data exactly for *any* smoothing parameters, so the h-step forecast is the
   exact linear extrapolation ``x1 + h·(x1−x0)``; for longer windows we use
   least-squares-initialized level/trend with a small SSE grid over (α, β).
+  The T>2 path is therefore an APPROXIMATION of statsmodels' MLE fit (which
+  also estimates the initial state): measured within 8% of the series' max
+  magnitude of an exact free-init SSE oracle, and pinned by recorded
+  constants in ``tests/test_stats_and_metrics.py`` (the production SO-fore
+  windows are always T=2, where the result is exact).
 """
 
 from __future__ import annotations
