@@ -198,3 +198,32 @@ def test_splice_rejects_mismatched_or_missing_backbone(tmp_path):
     with pytest.raises(ValueError, match="does not match"):
         splice_backbone({"params": v2["params"]},
                         {"params": bad, "batch_stats": converted["batch_stats"]})
+
+
+def test_manifest_verifies_real_init_tree(tmp_path):
+    """The drop-in kit's structural gate (scripts/pretrained_manifest.json +
+    convert_pretrained.py --verify): an artifact whose tree comes from a real
+    resnet50 init (NOT from the manifest — catches manifest drift vs the
+    model definition) passes; a shape-corrupted one is rejected with a
+    precise diff."""
+    from scripts.convert_pretrained import verify_artifact
+    from visuelle2_tpu.models.resnet import STAGE_BLOCKS, ResNetBackbone
+
+    mod = ResNetBackbone(STAGE_BLOCKS["resnet50"])
+    variables = jax.jit(
+        lambda: mod.init(jax.random.key(0),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32),
+                         train=False))()
+    variables = jax.tree_util.tree_map(np.asarray, dict(variables))
+    path = str(tmp_path / "rn50.npz")
+    save_variables(variables, path)
+    digest = verify_artifact(path, "resnet50")
+    assert len(digest) == 64
+
+    bad = dict(variables)
+    bad["params"] = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    bad["params"]["conv1"]["kernel"] = np.zeros((3, 3, 3, 64), np.float32)
+    bad_path = str(tmp_path / "bad.npz")
+    save_variables(bad, bad_path)
+    with pytest.raises(SystemExit, match="does NOT match"):
+        verify_artifact(bad_path, "resnet50")

@@ -76,7 +76,9 @@ def run(args):
 def build_parser():
     p = argparse.ArgumentParser()
     add_common_args(p)
-    p.add_argument("--demand", type=int, default=0)
+    # The reference spells this --new_product on the train CLI and maps it
+    # to demand internally (train_dl.py:96-114); accept both.
+    p.add_argument("--demand", "--new_product", type=int, default=0)
     p.add_argument("--embedding_dim", type=int, default=512)
     p.add_argument("--attention_dim", type=int, default=512)
     p.add_argument("--hidden_dim", type=int, default=512)

@@ -63,6 +63,16 @@ class TextFeaturizer:
                 import os
                 import socket
 
+                # A local snapshot from `scripts/convert_pretrained.py
+                # --arch bert` takes precedence — the supported way to get
+                # real BERT features on this zero-egress host.
+                local = os.environ.get("VISUELLE2_BERT_PATH", "")
+                if local and os.path.isdir(local):
+                    from transformers import pipeline
+
+                    self._bert = pipeline("feature-extraction", model=local)
+                    return
+
                 # On a zero-egress host huggingface otherwise burns ~40 s in
                 # retry loops before erroring: probe DNS once (instant fail
                 # offline) and flip transformers into offline mode BEFORE its
