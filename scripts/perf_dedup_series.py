@@ -1,0 +1,169 @@
+"""Dedup throughput regression series — eval AND train, one TPU claim.
+
+The unique-image dedup path (data/loader.py ``dedup_images``) is the
+framework's algorithmic win over per-row encoding: it beats the d=1
+speed-of-light by the product-photo duplication factor (BASELINE.md "Beyond
+speed-of-light").  This script is the guard that keeps it from silently
+rotting: it measures gated_v4 at production dims (ResNet-101 @299 bf16,
+batch 128) for duplication d ∈ {1, 4, 10} on both the inference and the
+full-train-step path, and appends one labelled record to the checked-in
+series file (``docs/perf_dedup_series.json``).
+
+Run each round:  python scripts/perf_dedup_series.py --label r3
+
+Relay-safe methodology throughout (CLAUDE.md "Benchmark integrity"): one
+jitted ``lax.scan`` per measurement over DISTINCT per-step inputs (train
+additionally serializes through the TrainState carry), host fetch as the
+completion barrier.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 128
+IMAGE = 299
+SERIES_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "perf_dedup_series.json")
+
+
+def measure_eval(model, variables, base, dup, iters, rng):
+    import jax
+
+    slots = -(-BATCH // dup)
+    img_idx = (np.arange(BATCH) // dup).astype(np.int32)
+    feed = dict(base, img_idx=jax.device_put(img_idx))
+
+    @jax.jit
+    def scan_batches(variables, feed, image_stack):
+        def body(_, images_t):
+            f, _aux = model.apply(
+                variables, dict(feed, images=images_t), train=False)
+            return 0, f
+        _, fs = jax.lax.scan(body, 0, image_stack)
+        return fs
+
+    warm = jax.device_put(rng.integers(
+        0, 255, (iters, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
+    timed = jax.device_put(rng.integers(
+        0, 255, (iters, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
+    np.asarray(scan_batches(variables, feed, warm))
+    t0 = time.perf_counter()
+    np.asarray(scan_batches(variables, feed, timed))
+    dt = (time.perf_counter() - t0) / iters
+    return {"slots": slots, "ms_per_batch": round(dt * 1e3, 2),
+            "forecasts_per_sec_per_chip": round(BATCH / dt, 1)}
+
+
+def measure_train(model, trainer, base, dup, iters, rng):
+    import jax
+
+    from visuelle2_tpu.train.loop import expand_mask, mse_loss, target_and_pred
+
+    slots = -(-BATCH // dup)
+    batch = dict(base, img_idx=(np.arange(BATCH) // dup).astype(np.int32),
+                 images=np.asarray(base["images"])[:slots])
+    state = trainer.init_state(batch)
+
+    @jax.jit
+    def scan_train(state, batch, image_stack):
+        def body(state, images_t):
+            b = dict(batch, images=images_t)
+
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                (f, _aux), mut = model.apply(
+                    variables, b, train=True,
+                    rngs={"dropout": jax.random.key(0),
+                          "sampling": jax.random.key(1)},
+                    mutable=["batch_stats"])
+                target, pred = target_and_pred(b, f)
+                return mse_loss(target, pred, expand_mask(b, target)), \
+                    mut["batch_stats"]
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads, stats), loss
+
+        return jax.lax.scan(body, state, image_stack)
+
+    warm = jax.device_put(rng.integers(
+        0, 255, (iters, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
+    timed = jax.device_put(rng.integers(
+        0, 255, (iters, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
+    batch = jax.device_put(batch)
+    state2, losses = scan_train(state, batch, warm)
+    np.asarray(losses)
+    t0 = time.perf_counter()
+    _, losses = scan_train(state2, batch, timed)
+    np.asarray(losses)
+    dt = (time.perf_counter() - t0) / iters
+    return {"slots": slots, "step_ms": round(dt * 1e3, 1),
+            "train_samples_per_sec_per_chip": round(BATCH / dt, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--label", type=str, required=True,
+                    help="series label for this record, e.g. r3")
+    ap.add_argument("--dups", type=int, nargs="+", default=[1, 4, 10])
+    ap.add_argument("--eval_iters", type=int, default=10)
+    ap.add_argument("--train_iters", type=int, default=4)
+    ap.add_argument("--out", type=str, default=SERIES_PATH)
+    opts = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.models import VocabSizes, build
+    from visuelle2_tpu.train.loop import TrainConfig, Trainer
+
+    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+                  image_arch="resnet101", image_dtype=jnp.bfloat16)
+    trainer = Trainer(model, TrainConfig(batch_size=BATCH, grad_clip=0.5))
+    base = _synthetic_batch(BATCH, IMAGE, seed=1)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        base, train=False)
+    variables = jax.device_put(variables)
+    base_dev = {k: jax.device_put(v) for k, v in base.items()
+                if k != "images"}
+
+    rng = np.random.default_rng(7)
+    record = {"label": opts.label, "batch": BATCH, "image": IMAGE,
+              "eval": {}, "train": {}}
+    for dup in opts.dups:
+        record["eval"][f"dup{dup}"] = measure_eval(
+            model, variables, base_dev, dup, opts.eval_iters, rng)
+        print(json.dumps({f"eval dup{dup}": record["eval"][f"dup{dup}"]}),
+              flush=True)
+    for dup in opts.dups:
+        record["train"][f"dup{dup}"] = measure_train(
+            model, trainer, base, dup, opts.train_iters, rng)
+        print(json.dumps({f"train dup{dup}": record["train"][f"dup{dup}"]}),
+              flush=True)
+
+    series = []
+    if os.path.isfile(opts.out):
+        with open(opts.out) as f:
+            series = json.load(f)
+    # One record per label: re-running a round replaces its entry.
+    series = [r for r in series if r.get("label") != opts.label] + [record]
+    with open(opts.out, "w") as f:
+        json.dump(series, f, indent=1)
+    print(json.dumps(record))
+    print(f"series -> {opts.out}")
+
+
+if __name__ == "__main__":
+    main()
