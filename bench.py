@@ -38,7 +38,17 @@ import numpy as np
 
 BATCH = 128
 IMAGE = 299
-ITERS = 10
+# The axon relay's dispatch+fetch round trip measures ~28 ms (see
+# scripts/perf_roofline.py _roundtrip_floor).  At ~33 ms/batch a 10-step
+# scan paid that floor as ~9% phantom per-batch time; 50 steps amortize it
+# below 2%, and the floor is additionally measured and subtracted.
+ITERS = 50
+
+
+def _rt_once(noop, d0):
+    t0 = time.perf_counter()
+    np.asarray(noop(d0))
+    return time.perf_counter() - t0
 
 
 def main():
@@ -75,9 +85,17 @@ def main():
     d_warm = jax.device_put(_stack(100))
     d_timed = jax.device_put(_stack(200))
     np.asarray(scan_batches(variables, d_warm))  # compile + warmup
+
+    # Measured dispatch+fetch round-trip floor of this session, subtracted
+    # from the single timed dispatch below.
+    noop = jax.jit(lambda x: x + 1.0)
+    d0 = jax.device_put(np.float32(0.0))
+    np.asarray(noop(d0))
+    rt = min(_rt_once(noop, d0) for _ in range(5))
+
     t0 = time.perf_counter()
     np.asarray(scan_batches(variables, d_timed))
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0 - rt) / ITERS
     n_chips = max(1, len(jax.devices()))
     fps_chip = BATCH / dt / n_chips
 

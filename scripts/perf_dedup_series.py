@@ -34,6 +34,28 @@ IMAGE = 299
 SERIES_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs", "perf_dedup_series.json")
 
+_RT = None
+
+
+def _rt_floor():
+    """Relay dispatch+fetch round-trip floor (~28 ms measured); subtracted
+    from every timed dispatch so short scans aren't inflated by it (see
+    scripts/perf_roofline.py)."""
+    global _RT
+    if _RT is None:
+        import jax
+
+        noop = jax.jit(lambda x: x + 1.0)
+        d0 = jax.device_put(np.float32(0.0))
+        np.asarray(noop(d0))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(noop(d0))
+            ts.append(time.perf_counter() - t0)
+        _RT = min(ts)
+    return _RT
+
 
 def measure_eval(model, variables, base, dup, iters, rng):
     import jax
@@ -58,7 +80,7 @@ def measure_eval(model, variables, base, dup, iters, rng):
     np.asarray(scan_batches(variables, feed, warm))
     t0 = time.perf_counter()
     np.asarray(scan_batches(variables, feed, timed))
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0 - _rt_floor()) / iters
     return {"slots": slots, "ms_per_batch": round(dt * 1e3, 2),
             "forecasts_per_sec_per_chip": round(BATCH / dt, 1)}
 
@@ -106,7 +128,7 @@ def measure_train(model, trainer, base, dup, iters, rng):
     t0 = time.perf_counter()
     _, losses = scan_train(state2, batch, timed)
     np.asarray(losses)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0 - _rt_floor()) / iters
     return {"slots": slots, "step_ms": round(dt * 1e3, 1),
             "train_samples_per_sec_per_chip": round(BATCH / dt, 1)}
 
@@ -116,8 +138,8 @@ def main():
     ap.add_argument("--label", type=str, required=True,
                     help="series label for this record, e.g. r3")
     ap.add_argument("--dups", type=int, nargs="+", default=[1, 4, 10])
-    ap.add_argument("--eval_iters", type=int, default=10)
-    ap.add_argument("--train_iters", type=int, default=4)
+    ap.add_argument("--eval_iters", type=int, default=40)
+    ap.add_argument("--train_iters", type=int, default=10)
     ap.add_argument("--out", type=str, default=SERIES_PATH)
     opts = ap.parse_args()
 

@@ -32,17 +32,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BATCH = 128
 
 
-def _time_scan(fn, make_input, iters, *consts):
-    """ONE lax.scan dispatch over ``iters`` distinct inputs; returns secs/step.
+_RT_FLOOR = None  # measured dispatch+fetch round-trip floor (secs)
+
+
+def _roundtrip_floor():
+    """Relay dispatch + host-fetch latency for a near-empty program: the
+    additive floor every timed dispatch pays.  Short scans of fast ops would
+    otherwise be dominated by it (a 10-step scan of 0.1 ms GEMMs is ~97%
+    round trip) — measurements below calibrate their scan length so device
+    time swamps this floor, and subtract it."""
+    global _RT_FLOOR
+    if _RT_FLOOR is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1.0)
+        d = jax.device_put(np.float32(0.0))
+        np.asarray(f(d))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(d))
+            ts.append(time.perf_counter() - t0)
+        _RT_FLOOR = min(ts)
+    return _RT_FLOOR
+
+
+def _time_scan(fn, make_input, *consts, target_secs=2.0, max_iters=200_000):
+    """ONE lax.scan dispatch over distinct inputs; returns secs/step.
 
     Per-step inputs are derived ON DEVICE from one base tensor, a step index,
     and the previous step's output mean (the scan carry): every step's input
     is distinct (no relay dedup), data-depends on the previous output (no
     overlap, no hoisting), and only one base tensor occupies HBM (large conv
     inputs would not fit as a host-built [iters, ...] stack).
+
+    The scan length auto-calibrates so device time is ~``target_secs`` —
+    long enough to swamp the measured round-trip floor — and the floor is
+    subtracted from the elapsed time.
     """
     import jax
     import jax.numpy as jnp
+
+    rt = _roundtrip_floor()
 
     @jax.jit
     def scan(consts, x, idx):
@@ -55,15 +87,26 @@ def _time_scan(fn, make_input, iters, *consts):
 
     d_consts = jax.device_put(consts)
     d_x = jax.device_put(make_input(0))
-    np.asarray(scan(d_consts, d_x, jax.device_put(
-        np.arange(1000, 1000 + iters, dtype=np.int32))))  # compile + warmup
-    idx = jax.device_put(np.arange(iters, dtype=np.int32))
-    t0 = time.perf_counter()
-    np.asarray(scan(d_consts, d_x, idx))
-    return (time.perf_counter() - t0) / iters
+
+    def run(iters, lo):
+        idx = jax.device_put(np.arange(lo, lo + iters, dtype=np.int32))
+        np.asarray(scan(d_consts, d_x, idx))  # compile for this length
+        t0 = time.perf_counter()
+        np.asarray(scan(d_consts, d_x, idx))
+        return time.perf_counter() - t0
+
+    # Calibration pass: short scan, estimate per-step cost (floor-corrected).
+    it0 = 32
+    el0 = run(it0, 1000)
+    per0 = max((el0 - rt) / it0, 1e-7)
+    iters = int(min(max_iters, max(it0, target_secs / per0)))
+    if iters <= it0 * 1.5:
+        return per0
+    el = run(iters, 0)
+    return max(el - rt, 1e-9) / iters
 
 
-def measure_gemm(n, iters=20, dtype="bfloat16"):
+def measure_gemm(n, dtype="bfloat16"):
     import jax.numpy as jnp
 
     dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -78,7 +121,7 @@ def measure_gemm(n, iters=20, dtype="bfloat16"):
         return jnp.dot(a.astype(dt), b.astype(dt),
                        preferred_element_type=jnp.float32)
 
-    secs = _time_scan(fn, make_input, iters, B.astype(np.float32))
+    secs = _time_scan(fn, make_input, B.astype(np.float32))
     tf = 2 * n**3 / secs / 1e12
     return {"secs_per_step": secs, "tflops_per_sec": round(tf, 1)}
 
@@ -121,7 +164,7 @@ def conv_out_dim(h, k, stride):
     return (h + 2 * pad - k) // stride + 1
 
 
-def measure_conv(hin, cin, cout, k, stride, batch=BATCH, iters=10):
+def measure_conv(hin, cin, cout, k, stride, batch=BATCH):
     import jax.numpy as jnp
     from jax import lax
 
@@ -139,7 +182,7 @@ def measure_conv(hin, cin, cout, k, stride, batch=BATCH, iters=10):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
 
-    secs = _time_scan(fn, make_input, iters, W)
+    secs = _time_scan(fn, make_input, W)
     hout = conv_out_dim(hin, k, stride)
     flops = 2 * batch * hout * hout * k * k * cin * cout
     return {"secs": secs, "gflops": round(flops / 1e9, 2),
@@ -153,6 +196,8 @@ def main():
     ap.add_argument("--gemm_sizes", type=int, nargs="+",
                     default=[2048, 4096, 8192])
     ap.add_argument("--skip_convs", action="store_true")
+    ap.add_argument("--conv_names", nargs="+", default=[],
+                    help="measure only these conv shapes (chunked runs)")
     opts = ap.parse_args()
 
     import jax
@@ -165,25 +210,35 @@ def main():
               flush=True)
 
     if not opts.skip_convs:
-        total_flops = total_secs = 0.0
         for name, hin, cin, cout, k, stride, count in RESNET101_CONVS:
+            if opts.conv_names and name not in opts.conv_names:
+                continue
             r = measure_conv(hin, cin, cout, k, stride)
             r["count"] = count
             results["convs"][name] = r
-            total_flops += r["gflops"] * count
-            total_secs += r["secs"] * count
             print(json.dumps({name: r}), flush=True)
-        results["conv_weighted"] = {
-            "total_gflops_per_batch": round(total_flops, 1),
-            "sum_secs_per_batch": round(total_secs * 1e3, 2),
-            "flop_weighted_tflops_per_sec": round(
-                total_flops / total_secs / 1e3, 1),
-        }
 
     print(json.dumps(results))
     if opts.out:
+        merged = results
+        if os.path.isfile(opts.out):
+            with open(opts.out) as f:
+                merged = json.load(f)
+            merged["gemm_bf16"].update(results["gemm_bf16"])
+            merged["convs"].update(results["convs"])
+        # FLOP-weighted totals over whatever shapes have been measured so
+        # far (chunked runs accumulate into one file).
+        if merged["convs"]:
+            tf_ = sum(r["gflops"] * r["count"] for r in merged["convs"].values())
+            ts_ = sum(r["secs"] * r["count"] for r in merged["convs"].values())
+            merged["conv_weighted"] = {
+                "shapes_measured": len(merged["convs"]),
+                "total_gflops_per_batch": round(tf_, 1),
+                "sum_secs_per_batch_ms": round(ts_ * 1e3, 2),
+                "flop_weighted_tflops_per_sec": round(tf_ / ts_ / 1e3, 1),
+            }
         with open(opts.out, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(merged, f, indent=1)
         print(f"-> {opts.out}")
 
 

@@ -17,23 +17,34 @@ def test_forecast_stat_cli(synthetic_dataset, capsys):
     assert "Results for ses" in out
 
 
-def test_train_then_forecast_dl_cli(synthetic_dataset, tmp_path):
+
+@pytest.fixture(scope="module")
+def trained_ck21(synthetic_dataset, tmp_path_factory):
+    """One task-0 CrossAttnRNN21 training shared by every test that only
+    needs *a* trained checkpoint (suite-time: one training instead of one
+    per test).  Returns (manager_root, best_step_path)."""
+    root = str(tmp_path_factory.mktemp("ck") / "ckpt21")
     train_args = train_dl.build_parser().parse_args([
         "--dataset_path", synthetic_dataset, "--task_mode", "0",
         "--output_len", "1", "--epochs", "1", "--batch_size", "16",
         "--embedding_dim", "16", "--attention_dim", "16", "--hidden_dim", "16",
         "--image_arch", "tiny", "--image_size", "32",
-        "--ckpt_dir", str(tmp_path / "ckpt21"),
+        "--ckpt_dir", root,
     ])
     best = train_dl.run(train_args)
-    assert best is not None
+    assert best is not None and best.rstrip("/").split("/")[-1].isdigit()
+    return root, best
+
+
+def test_train_then_forecast_dl_cli(synthetic_dataset, tmp_path, trained_ck21):
+    root, _best = trained_ck21
 
     fc_args = forecast_dl.build_parser().parse_args([
         "--dataset_path", synthetic_dataset, "--task_mode", "0",
         "--batch_size", "16",
         "--embedding_dim", "16", "--attention_dim", "16", "--hidden_dim", "16",
         "--image_arch", "tiny", "--image_size", "32",
-        "--ckpt_path", str(tmp_path / "ckpt21"),
+        "--ckpt_path", root,
         "--export", str(tmp_path / "model.v2tpu"),
         "--metrics_out", str(tmp_path / "metrics.json"),
     ])
@@ -173,18 +184,10 @@ def test_score_split_one_pass_matches_batched(synthetic_dataset):
     assert abs(r_fallback.wape - r1.wape) < 1e-3
 
 
-def test_forecast_accepts_step_path(synthetic_dataset, tmp_path):
+def test_forecast_accepts_step_path(synthetic_dataset, trained_ck21):
     """run_all hands forecast the best *step* directory (what train prints);
     the resolver must accept both that and the manager root."""
-    train_args = train_dl.build_parser().parse_args([
-        "--dataset_path", synthetic_dataset, "--task_mode", "0",
-        "--output_len", "1", "--epochs", "1", "--batch_size", "16",
-        "--embedding_dim", "16", "--attention_dim", "16", "--hidden_dim", "16",
-        "--image_arch", "tiny", "--image_size", "32",
-        "--ckpt_dir", str(tmp_path / "ckpt"),
-    ])
-    best = train_dl.run(train_args)
-    assert best is not None and best.rstrip("/").split("/")[-1].isdigit()
+    _root, best = trained_ck21
 
     fc_args = forecast_dl.build_parser().parse_args([
         "--dataset_path", synthetic_dataset, "--task_mode", "0",

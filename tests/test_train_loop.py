@@ -38,6 +38,18 @@ def test_gated_v4_demand_loss_decreases(synthetic_dataset):
     assert np.isfinite(trainer.history[-1]["val_wWAPE"])
     assert np.isfinite(trainer.history[-1]["val_mae"])
 
+    # NaN-halt coverage on the SAME compiled trainer (merged from its own
+    # test, which paid a fresh model+trainer compile for one poisoned fit):
+    # a NaN-poisoned state stops after one epoch instead of burning the
+    # remaining budget (TrainConfig.halt_on_nonfinite).
+    poisoned = state.replace(params=jax.tree_util.tree_map(
+        lambda x: x * jnp.nan, state.params))
+    trainer.history.clear()
+    trainer.config.epochs = 5
+    trainer.fit(train_loader, val_loader, state=poisoned)
+    assert len(trainer.history) == 1
+    assert trainer.history[0]["halted"] == "non-finite train loss"
+
 
 def test_cross_attn_21_trains(synthetic_dataset):
     train_loader, val_loader = _loaders(synthetic_dataset, False, 1)
@@ -78,10 +90,17 @@ def _model_sharded_leaves(params):
     ]
 
 
-def test_tensor_parallel_matches_replicated(synthetic_dataset):
-    """data=4 x model=2 mesh: params genuinely shard over ``model`` and the
-    train-step loss matches the pure data-parallel (replicated-params) run."""
-    train_loader, _ = _loaders(synthetic_dataset, True, 12)
+def test_tensor_parallel_matches_replicated(synthetic_dataset, tmp_path):
+    """data=4 x model=2 mesh vs pure data-parallel, one compiled trainer
+    pair (merged from three tests; every assertion retained):
+    (a) params genuinely shard over ``model`` and the train-step loss AND
+        updated params match the replicated dp(8x1) run;
+    (b) sharded eval metrics from the tp state equal the dp metrics;
+    (c) the tp-sharded state checkpoints and restores through orbax,
+        reproducing the eval metrics."""
+    from visuelle2_tpu.train.checkpoint import CheckpointManager
+
+    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
     model = build("m4ft", vocab=VOCAB, output_len=12, **SMALL_GTM)
     batch = next(iter(train_loader))
 
@@ -91,16 +110,23 @@ def test_tensor_parallel_matches_replicated(synthetic_dataset):
     s_tp = tp.init_state(batch)
     sharded = _model_sharded_leaves(s_tp.params)
     assert sharded, "no parameter is sharded over the model axis"
-    s_tp, m_tp = tp.train_step(s_tp, batch, jax.random.key(0))
 
     dp = Trainer(model, TrainConfig(epochs=1, batch_size=16, grad_clip=0.5),
                  mesh=make_mesh(data=8, model=1))
     s_dp = dp.init_state(batch)
-    s_dp, m_dp = dp.train_step(s_dp, batch, jax.random.key(0))
 
-    assert np.isfinite(float(m_tp["loss"]))
-    assert float(m_tp["loss"]) == pytest.approx(float(m_dp["loss"]), rel=1e-5)
-    # And the updated params agree too (same Adafactor step, resharded math).
+    # (b) eval parity at init (sharded metric reduction == replicated).
+    m_tp = tp.evaluate(s_tp, val_loader)
+    m_dp = dp.evaluate(s_dp, val_loader)
+    assert m_tp["val_wWAPE"] == pytest.approx(m_dp["val_wWAPE"], rel=1e-4)
+    assert m_tp["val_mae"] == pytest.approx(m_dp["val_mae"], rel=1e-4)
+
+    # (a) one train step each from the same init: loss + updated params.
+    s_tp, m_tp_s = tp.train_step(s_tp, batch, jax.random.key(0))
+    s_dp, m_dp_s = dp.train_step(s_dp, batch, jax.random.key(0))
+    assert np.isfinite(float(m_tp_s["loss"]))
+    assert float(m_tp_s["loss"]) == pytest.approx(float(m_dp_s["loss"]),
+                                                  rel=1e-5)
     k = sharded[0]
     flat_tp = {jax.tree_util.keystr(p): l for p, l in
                jax.tree_util.tree_leaves_with_path(s_tp.params)}
@@ -109,27 +135,16 @@ def test_tensor_parallel_matches_replicated(synthetic_dataset):
     np.testing.assert_allclose(np.asarray(flat_tp[k]), np.asarray(flat_dp[k]),
                                rtol=2e-4, atol=2e-5)
 
-
-def test_tensor_parallel_eval_matches_replicated(synthetic_dataset):
-    """Sharded-eval under a tensor-parallel mesh: the one-pass metrics from
-    a tp(4x2) state (params genuinely sharded over `model`) must equal the
-    replicated dp(8x1) metrics."""
-    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
-    model = build("m4ft", vocab=VOCAB, output_len=12, **SMALL_GTM)
-    batch = next(iter(train_loader))
-
-    tp = Trainer(model, TrainConfig(epochs=1, batch_size=16, tp_min_dim=8),
-                 mesh=make_mesh(data=4, model=2))
-    s_tp = tp.init_state(batch)
-    assert _model_sharded_leaves(s_tp.params)
-    m_tp = tp.evaluate(s_tp, val_loader)
-
-    dp = Trainer(model, TrainConfig(epochs=1, batch_size=16),
-                 mesh=make_mesh(data=8, model=1))
-    m_dp = dp.evaluate(dp.init_state(batch), val_loader)
-
-    assert m_tp["val_wWAPE"] == pytest.approx(m_dp["val_wWAPE"], rel=1e-4)
-    assert m_tp["val_mae"] == pytest.approx(m_dp["val_mae"], rel=1e-4)
+    # (c) checkpoint round trip of the trained tp-sharded state.
+    m_before = tp.evaluate(s_tp, val_loader)
+    ckpt = CheckpointManager(str(tmp_path / "ck_tp"))
+    ckpt.save(0, s_tp, m_before)
+    fresh = tp.init_state(batch)
+    restored = ckpt.restore(fresh, step=0)
+    ckpt.close()
+    m_after = tp.evaluate(restored, val_loader)
+    assert m_after["val_wWAPE"] == pytest.approx(m_before["val_wWAPE"],
+                                                 rel=1e-5)
 
 
 def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
@@ -160,30 +175,6 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     assert len(t2.history) == 2, [h["epoch"] for h in t2.history]
     assert [h["epoch"] for h in t2.history] == [2, 3]
     assert int(s2.step) == 4 * steps_per_epoch
-
-
-def test_tensor_parallel_checkpoint_roundtrip(synthetic_dataset, tmp_path):
-    """Distributed checkpointing: a state with params genuinely sharded over
-    the model axis saves and restores through orbax, and the restored state
-    reproduces the eval metrics."""
-    from visuelle2_tpu.train.checkpoint import CheckpointManager
-
-    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
-    model = build("m4ft", vocab=VOCAB, output_len=12, **SMALL_GTM)
-    mesh = make_mesh(data=4, model=2)
-    trainer = Trainer(model, TrainConfig(epochs=1, batch_size=16,
-                                         learning_rate=1e-2, tp_min_dim=8),
-                      mesh=mesh)
-    ckpt = CheckpointManager(str(tmp_path / "ck_tp"))
-    state = trainer.fit(train_loader, val_loader, checkpointer=ckpt)
-    assert _model_sharded_leaves(state.params)
-    m_before = trainer.evaluate(state, val_loader)
-
-    fresh = trainer.init_state(next(iter(train_loader)))
-    restored = ckpt.restore(fresh, step=ckpt.latest_step())
-    ckpt.close()
-    m_after = trainer.evaluate(restored, val_loader)
-    assert m_after["val_wWAPE"] == pytest.approx(m_before["val_wWAPE"], rel=1e-5)
 
 
 def test_checkpoint_save_restore(synthetic_dataset, tmp_path):
@@ -301,21 +292,6 @@ def test_fit_rejects_accum_exceeding_epoch(synthetic_dataset):
         epochs=1, batch_size=16, accum_steps=len(train_loader) + 1))
     with pytest.raises(ValueError, match="accum_steps"):
         trainer.fit(train_loader, val_loader)
-
-
-def test_fit_halts_on_nonfinite_loss(synthetic_dataset):
-    """A NaN-poisoned state stops training at the first epoch instead of
-    burning the remaining budget (TrainConfig.halt_on_nonfinite)."""
-    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
-    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
-    trainer = Trainer(model, TrainConfig(epochs=5, batch_size=16,
-                                         learning_rate=1e-2))
-    state = trainer.init_state(next(iter(train_loader)))
-    poisoned = jax.tree_util.tree_map(lambda x: x * jnp.nan, state.params)
-    state = state.replace(params=poisoned)
-    trainer.fit(train_loader, val_loader, state=state)
-    assert len(trainer.history) == 1
-    assert trainer.history[0]["halted"] == "non-finite train loss"
 
 
 def test_dedup_accum_tensor_parallel_compose(synthetic_dataset):
