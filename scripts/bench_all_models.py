@@ -3,7 +3,9 @@
 Measures forecasts/sec/chip for every benchmark task's model at reference
 dims (512-dim CrossAttnRNN family, 32/64 GTM family, ResNet-101 @299 bf16),
 using the same sound methodology as bench.py (one jitted lax.scan over
-distinct image batches, fetch barrier).  Writes docs/bench_all_models.json.
+distinct image batches, fetch barrier, the relay's ~28 ms dispatch round
+trip amortized over the scan AND subtracted — see perf_roofline.py).
+Writes docs/bench_all_models.json.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from visuelle2_tpu.eval.profiler import compiled_flops
 from visuelle2_tpu.models import VocabSizes, build
 
 VOCAB = VocabSizes(5, 6, 5, 126)
-BATCH, ITERS, IMAGE = 128, 8, 299
+BATCH, ITERS, IMAGE = 128, 40, 299
 
 
 def stfore_batch(n, w, h, seed=0):
@@ -54,8 +56,21 @@ CONFIGS = {
 }
 
 
+def _rt_floor():
+    noop = jax.jit(lambda x: x + 1.0)
+    d0 = jax.device_put(np.float32(0.0))
+    np.asarray(noop(d0))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(noop(d0))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def main():
     results = {}
+    rt = _rt_floor()
     for name, (kw, make_batch) in CONFIGS.items():
         model = build(name, vocab=VOCAB, image_arch="resnet101",
                       image_dtype=jnp.bfloat16, **kw)
@@ -87,7 +102,7 @@ def main():
         np.asarray(scan_batches(variables, batch, d_warm))
         t0 = time.perf_counter()
         np.asarray(scan_batches(variables, batch, d_timed))
-        dt = (time.perf_counter() - t0) / ITERS
+        dt = (time.perf_counter() - t0 - rt) / ITERS
         fps = BATCH / dt
         results[name] = {
             "ms_per_batch": round(dt * 1e3, 1),
