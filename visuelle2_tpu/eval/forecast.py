@@ -52,6 +52,12 @@ def dump_attention(model, variables, batch, path: str):
     return sorted(arrays)
 
 
+def _probe_rt(noop, d0):
+    t0 = time.perf_counter()
+    np.asarray(noop(d0))
+    return time.perf_counter() - t0
+
+
 @dataclasses.dataclass
 class ForecastResult:
     wape: float
@@ -79,7 +85,7 @@ ONE_PASS_HBM_BUDGET_BYTES = 4 << 30
 
 def score_split(model, variables, loader: BatchLoader, *, mesh=None,
                 norm_scalar: float = 53.0, measure_throughput: bool = True,
-                timing_iters: int = 5,
+                timing_iters: int = 10,
                 one_pass: Optional[bool] = None) -> ForecastResult:
     """Score a test split.
 
@@ -157,11 +163,18 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
         if measure_throughput:
             # Relay-safe methodology (CLAUDE.md "Benchmark integrity", same
             # as bench.py): identical dispatches are deduped, independent
-            # dispatches overlap, and block_until_ready can return early —
-            # so the measurement is ONE jitted lax.scan over DISTINCT
-            # per-step batches whose carry serializes the steps, with the
-            # host fetch (np.asarray) as the completion barrier.
+            # dispatches overlap, block_until_ready can return early, and
+            # the dispatch+fetch round trip costs ~28 ms — so the
+            # measurement is ONE jitted lax.scan over DISTINCT per-step
+            # batches whose carry serializes the steps, with the host fetch
+            # (np.asarray) as the completion barrier and the separately
+            # measured round-trip floor subtracted.
             from jax.sharding import NamedSharding, PartitionSpec as P
+
+            noop = jax.jit(lambda x: x + 1.0)
+            d0 = jax.device_put(np.float32(0.0))
+            np.asarray(noop(d0))
+            rt = min(_probe_rt(noop, d0) for _ in range(5))
 
             def _stack(offset):
                 # Roll on HOST numpy, not eager jnp: an eager roll of a
@@ -193,7 +206,8 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
             np.asarray(scan_eval(variables, warm))  # compile + warmup
             t0 = time.perf_counter()
             np.asarray(scan_eval(variables, timed))
-            dt = (time.perf_counter() - t0) / timing_iters
+            dt = (time.perf_counter() - t0 - rt) / timing_iters
+            dt = max(dt, 1e-9)
             fps = bs / dt
             fps_chip = fps / n_chips
 
