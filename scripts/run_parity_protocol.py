@@ -37,7 +37,7 @@ TRANSFORMER_MODELS = ["gtm", "m4ft", "gated_v1", "gated_v2", "gated_v3",
 
 REF = {
     "stat": "python forecast_stat.py --dataset_path D --method {m} "
-            "--use_teacher_forcing 1",
+            "--use_teacher_forcing {tf}",
     "task0": "python train_dl.py --dataset_path D --task_mode 0 && "
              "python forecast_dl.py --dataset_path D --task_mode 0 "
              "--ckpt_path <best>",
@@ -67,13 +67,17 @@ def _common(args, extra):
 def run_stats(args, rows):
     from visuelle2_tpu.cli import forecast_stat
 
-    for m in ("naive", "ses", "holt"):
-        a = forecast_stat.build_parser().parse_args(_common(args, [
-            "--method", m, "--use_teacher_forcing", "1", "--output_len", "1"]))
-        wape, mae = forecast_stat.run(a)
-        rows.append({"row": f"SO-fore2-1 {m} WAPE/MAE",
-                     "wape": wape, "mae": mae, "hw": "CPU/TPU",
-                     "reference_cmd": REF["stat"].format(m=m)})
+    # Both teacher-forcing modes, like the reference README: TF=1 is the
+    # SO-fore2-1 protocol, TF=0 the SO-fore2-10 one (repeat-first windows).
+    for tf, task in ((1, "SO-fore2-1"), (0, "SO-fore2-10")):
+        for m in ("naive", "ses", "holt"):
+            a = forecast_stat.build_parser().parse_args(_common(args, [
+                "--method", m, "--use_teacher_forcing", str(tf),
+                "--output_len", "1"]))
+            wape, mae = forecast_stat.run(a)
+            rows.append({"row": f"{task} {m} WAPE/MAE",
+                         "wape": wape, "mae": mae, "hw": "CPU/TPU",
+                         "reference_cmd": REF["stat"].format(m=m, tf=tf)})
 
 
 def run_rnn_task(args, rows, *, task_mode=None, new_product=0, label="",

@@ -147,10 +147,33 @@ def test_tensor_parallel_matches_replicated(synthetic_dataset, tmp_path):
                                                  rel=1e-5)
 
 
+class _PreemptingLoader:
+    """Delivers a real SIGTERM to this process right before yielding batch
+    ``after`` of every epoch (the cloud preemption notice, loop.py
+    PreemptionWatch)."""
+
+    def __init__(self, loader, after):
+        self.loader, self.after = loader, after
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import os
+        import signal
+
+        for i, b in enumerate(self.loader):
+            if i == self.after:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+
 def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     """A resumed run must continue at the saved epoch, not restart at 0 and
     double-train: 2 epochs + resume-for-2-more == 4 total epochs of steps,
-    and the resumed fit loops exactly twice."""
+    and the resumed fit loops exactly twice.  Then, on the SAME compiled
+    trainer, a mid-epoch SIGTERM: fit stops at the step boundary, saves the
+    ``last`` slot, and restore_latest re-runs the interrupted epoch."""
     from visuelle2_tpu.train.checkpoint import CheckpointManager
 
     train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
@@ -167,14 +190,78 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     t2 = Trainer(model, TrainConfig(epochs=4, batch_size=16, learning_rate=1e-2))
     fresh = t2.init_state(next(iter(train_loader)))
     src = CheckpointManager(str(tmp_path / "ck"))
-    resume_epoch = src.latest_step()
-    restored = src.restore(fresh, step=resume_epoch)
+    restored, start_epoch = src.restore_latest(fresh)
     src.close()
+    assert start_epoch == 2
     s2 = t2.fit(train_loader, val_loader, state=restored,
-                start_epoch=resume_epoch + 1)
+                start_epoch=start_epoch)
     assert len(t2.history) == 2, [h["epoch"] for h in t2.history]
     assert [h["epoch"] for h in t2.history] == [2, 3]
     assert int(s2.step) == 4 * steps_per_epoch
+
+    # --- Preemption (same compiled steps): SIGTERM lands mid-epoch 4. ---
+    t2.history.clear()
+    t2.config.epochs = 6
+    ck2 = CheckpointManager(str(tmp_path / "ck_pre"), save_top_k=4)
+    s3 = t2.fit(_PreemptingLoader(train_loader, after=1), val_loader,
+                state=s2, checkpointer=ck2, start_epoch=4)
+    assert t2.history[-1]["preempted"] is True
+    assert t2.history[-1]["epoch"] == 4
+    assert t2.history[-1]["steps_into_epoch"] == 2
+    assert int(s3.step) == 4 * steps_per_epoch + 2
+
+    # Resume re-runs the interrupted epoch in full and finishes the budget.
+    fresh = t2.init_state(next(iter(train_loader)))
+    restored, start_epoch = ck2.restore_latest(fresh)
+    ck2.close()
+    assert start_epoch == 4
+    assert int(restored.step) == int(s3.step)
+    t2.history.clear()
+    s4 = t2.fit(train_loader, val_loader, state=restored, start_epoch=4)
+    assert [h["epoch"] for h in t2.history] == [4, 5]
+    assert int(s4.step) == int(s3.step) + 2 * steps_per_epoch
+
+
+def test_save_last_survives_topk_gc(tmp_path):
+    """The top-k best retention deletes the newest epochs once the monitor
+    stops improving; without the ``last`` slot, resume would silently rewind
+    past them (this is measured orbax behavior, not hypothetical)."""
+    from flax import core
+
+    from visuelle2_tpu.train.checkpoint import CheckpointManager
+    from visuelle2_tpu.train.loop import TrainState
+
+    def st(v):
+        return TrainState(step=jnp.asarray(v, jnp.int32),
+                          params=core.FrozenDict({"w": jnp.full((2,), float(v))}),
+                          batch_stats=core.FrozenDict(),
+                          opt_state={"m": jnp.zeros((2,))}, tx=None)
+
+    ck = CheckpointManager(str(tmp_path / "ck"), save_top_k=2)
+    for e, w in enumerate([1.0, 1.1, 5.0, 6.0, 7.0]):  # best: epochs 0, 1
+        ck.save(e, st(e), {"val_wWAPE": w, "val_mae": w})
+    assert sorted(ck._mgr.all_steps()) == [0, 1]  # epochs 2-4 GC'd by best-k
+    assert ck.latest_step() == 4  # ...but the last slot kept the true latest
+    restored, start = ck.restore_latest(st(0))
+    assert float(restored.params["w"][0]) == 4.0 and start == 5
+
+    # A preemption save becomes the resume point, re-running its epoch.
+    ck.save_preempted(7, st(77))
+    restored, start = ck.restore_latest(st(0))
+    assert float(restored.params["w"][0]) == 77.0 and start == 7
+    # Best-checkpoint restore (forecast CLIs) is untouched by the last slot.
+    assert float(ck.restore(st(0)).params["w"][0]) == 0.0
+    ck.close()
+
+    # Pre-save_last directory layout: falls back to the newest survivor.
+    old = CheckpointManager(str(tmp_path / "old"), save_top_k=2,
+                            save_last=False)
+    old.save(0, st(9), {"val_wWAPE": 1.0, "val_mae": 1.0})
+    old.close()
+    ck2 = CheckpointManager(str(tmp_path / "old"))
+    restored, start = ck2.restore_latest(st(0))
+    assert float(restored.params["w"][0]) == 9.0 and start == 1
+    ck2.close()
 
 
 def test_checkpoint_save_restore(synthetic_dataset, tmp_path):

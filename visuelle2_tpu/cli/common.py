@@ -163,15 +163,17 @@ def prepare_initial_state(trainer, loaders, args):
         if state is None:
             state = trainer.init_state(next(iter(loaders["train"])))
         src = CheckpointManager(args.resume_from)
-        resume_epoch = src.latest_step()
-        if resume_epoch is None:
+        try:
+            # Prefers the ``last`` slot: the true latest state (top-k
+            # retention may have deleted every epoch after the best one),
+            # including a preemption save whose fit_epoch re-runs the
+            # interrupted epoch (train/checkpoint.py).
+            state, start_epoch = src.restore_latest(state)
+        except FileNotFoundError as e:
+            raise SystemExit(f"--resume_from: {e}")
+        finally:
             src.close()
-            raise SystemExit(
-                f"--resume_from {args.resume_from}: no checkpoints found")
-        state = src.restore(state, step=resume_epoch)
-        src.close()
-        start_epoch = resume_epoch + 1
-        print(f"resumed from {args.resume_from} @ epoch {resume_epoch} "
+        print(f"resumed from {args.resume_from} -> epoch {start_epoch} "
               f"(step {int(state.step)})")
     return state, start_epoch
 

@@ -68,6 +68,10 @@ def run(args):
     trainer.fit(loaders["train"], loaders["test"], state=state,
                 checkpointer=ckpt, log_fn=log, start_epoch=start_epoch)
     elapsed = time.time() - t0
+    if trainer.history and trainer.history[-1].get("preempted"):
+        print(f"[Training Preempted] state saved at epoch "
+              f"{trainer.history[-1]['epoch']}; continue with "
+              f"--resume_from {args.ckpt_dir}")
     print(f"[Training Completed] Time: {elapsed/60:.2f} minutes ({elapsed:.2f} seconds)")
     print(ckpt.best_model_path)
     return ckpt.best_model_path

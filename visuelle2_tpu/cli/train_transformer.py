@@ -77,6 +77,10 @@ def run(args):
     t0 = time.time()
     trainer.fit(loaders["train"], loaders["test"], state=state,
                 checkpointer=ckpt, log_fn=log, start_epoch=start_epoch)
+    if trainer.history and trainer.history[-1].get("preempted"):
+        print(f"[Training Preempted] state saved at epoch "
+              f"{trainer.history[-1]['epoch']}; continue with "
+              f"--resume_from {args.ckpt_dir}")
     print(f"[Training Completed] Time: {(time.time() - t0)/60:.2f} minutes")
     print(f"Best Model Path: {ckpt.best_model_path}")
     return ckpt.best_model_path

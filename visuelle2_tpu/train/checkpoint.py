@@ -5,13 +5,25 @@ save_top_k=2)`` (``/root/reference/train_dl.py:151-157``; top-k 1 for the
 GTM family, ``train_GTM_visuelle2.py:119-125``).  Saves params + batch_stats
 + opt_state + step so mid-training resume works (the reference never wires
 ``ckpt_path=`` into ``fit`` — we support it).
+
+Beyond the reference: a ``last`` slot (Lightning's ``save_last=True``
+analogue).  The top-k retention keeps only the BEST epochs — once the
+monitor stops improving, the newest epochs are garbage-collected, and a
+resume from ``latest_step()`` would silently rewind past them, retraining
+epochs that already ran.  The ``last`` slot is a separate single-entry
+manager under ``<dir>/last`` that always holds the most recent state plus
+the epoch the next ``fit`` should start at (``fit_epoch``); it is also the
+landing place for preemption saves (``save_preempted``), which may capture a
+MID-epoch state — their ``fit_epoch`` points back at the interrupted epoch
+so the resumed run re-runs it.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -26,9 +38,19 @@ def resolve_ckpt_path(path: str):
     return path, None
 
 
+def _payload(state):
+    return {
+        "params": state.params,
+        "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+
+
 class CheckpointManager:
     def __init__(self, directory: str, *, save_top_k: int = 2,
-                 monitor: str = "val_wWAPE", mode: str = "min"):
+                 monitor: str = "val_wWAPE", mode: str = "min",
+                 save_last: bool = True):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         self.monitor = monitor
@@ -39,25 +61,52 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(directory, options=options)
         self.directory = directory
+        self._last = None
+        if save_last:
+            self._last = ocp.CheckpointManager(
+                os.path.join(directory, "last"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1))
+
+    def _save_last(self, epoch: int, state, fit_epoch: int):
+        payload = dict(_payload(state), fit_epoch=np.asarray(fit_epoch, np.int32))
+        self._last.save(epoch, args=ocp.args.StandardSave(payload))
+        self._last.wait_until_finished()
 
     def save(self, epoch: int, state, metrics: Dict[str, float]):
-        payload = {
-            "params": state.params,
-            "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
         self._mgr.save(
-            epoch, args=ocp.args.StandardSave(payload),
+            epoch, args=ocp.args.StandardSave(_payload(state)),
             metrics={k: float(v) for k, v in metrics.items() if k != "epoch"})
+        if self._last is not None:
+            # Epoch complete: a resume continues at the NEXT epoch.  Kicked
+            # off before waiting on the top-k save so the two async orbax
+            # writes overlap.
+            self._save_last(epoch, state, fit_epoch=epoch + 1)
         self._mgr.wait_until_finished()
+
+    def save_preempted(self, epoch: int, state):
+        """Emergency save at a STEP boundary inside ``epoch`` (graceful
+        SIGTERM shutdown, train/loop.py).  Lands only in the ``last`` slot —
+        it has no validation metrics, so it must never compete with the
+        top-k best checkpoints — with ``fit_epoch`` pointing back at the
+        interrupted epoch: the resumed run re-runs that epoch in full (its
+        leading batches train twice on slightly-advanced params; the rng
+        stream stays step-folded, so no draw repeats)."""
+        if self._last is None:
+            raise ValueError("save_preempted requires save_last=True")
+        self._save_last(epoch, state, fit_epoch=epoch)
 
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
     def latest_step(self) -> Optional[int]:
         """Most recent saved epoch — what mid-training resume should restore
-        (best_step would silently rewind to an earlier epoch)."""
+        (best_step would silently rewind to an earlier epoch).  The ``last``
+        slot is authoritative when present: the top-k retention may have
+        garbage-collected every epoch after the best one."""
+        if self._last is not None:
+            step = self._last.latest_step()
+            if step is not None:
+                return step
         return self._mgr.latest_step()
 
     @property
@@ -65,16 +114,8 @@ class CheckpointManager:
         step = self.best_step()
         return None if step is None else os.path.join(self.directory, str(step))
 
-    def restore(self, state, step: Optional[int] = None):
-        """Restore into an existing TrainState template (shapes/dtypes)."""
-        step = step if step is not None else self.best_step()
-        template = {
-            "params": state.params,
-            "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+    @staticmethod
+    def _apply(state, restored):
         return state.replace(
             params=restored["params"],
             batch_stats=type(state.batch_stats)(restored["batch_stats"])
@@ -82,6 +123,36 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def restore(self, state, step: Optional[int] = None):
+        """Restore into an existing TrainState template (shapes/dtypes)."""
+        step = step if step is not None else self.best_step()
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_payload(state)))
+        return self._apply(state, restored)
+
+    def restore_latest(self, state) -> Tuple[object, int]:
+        """Restore the most recent state for mid-training resume.
+
+        Returns ``(state, start_epoch)``.  Prefers the ``last`` slot (true
+        latest, possibly a preemption save whose ``fit_epoch`` re-runs the
+        interrupted epoch); falls back to the newest SURVIVING top-k
+        checkpoint for pre-``save_last`` directory layouts."""
+        if self._last is not None:
+            step = self._last.latest_step()
+            if step is not None:
+                template = dict(_payload(state),
+                                fit_epoch=np.asarray(0, np.int32))
+                restored = self._last.restore(
+                    step, args=ocp.args.StandardRestore(template))
+                return self._apply(state, restored), int(restored["fit_epoch"])
+        step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"{self.directory}: no checkpoints to resume from")
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_payload(state)))
+        return self._apply(state, restored), step + 1
 
     def restore_for_eval(self, state, step: Optional[int] = None):
         """Restore params + batch_stats only (inference / forecast CLIs).
@@ -104,3 +175,5 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+        if self._last is not None:
+            self._last.close()

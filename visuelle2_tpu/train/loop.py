@@ -20,6 +20,8 @@ forecasts (``CrossAttnRNN210.py:247``, ``GTM_Visuelle2.py:278``).
 from __future__ import annotations
 
 import dataclasses
+import signal
+import threading
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -123,6 +125,46 @@ class TrainConfig:
     # history records the event, instead of burning the remaining epoch
     # budget training garbage.
     halt_on_nonfinite: bool = True
+
+
+class PreemptionWatch:
+    """Graceful-shutdown watcher for preemptible accelerators.
+
+    Cloud TPU/GPU VMs deliver SIGTERM with a short grace window before a
+    preemption; the reference (single workstation GPU, no signal handling)
+    simply dies and loses the run.  Entering the watch installs a SIGTERM
+    handler that flips ``requested``; ``Trainer.fit`` consumes the flag at
+    the next STEP boundary — save an emergency ``last`` checkpoint, record
+    the event, return cleanly — so ``--resume_from`` continues the run on
+    the replacement VM.  The previous handler is restored on exit.
+
+    Installed only from the main thread (CPython restricts ``signal.signal``
+    to it); elsewhere the watch is inert and training is simply not
+    preemption-aware on that thread.  Multi-host note: a slice preemption
+    delivers SIGTERM to every host, so the collective orbax save below
+    proceeds on all processes; do not SIGTERM a single process of a
+    multi-process run.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self.signals = signals
+        self.requested = False
+        self._previous = {}
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for s in self.signals:
+                self._previous[s] = signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._previous.items():
+            signal.signal(s, prev)
+        self._previous.clear()
+        return False
 
 
 class Trainer:
@@ -352,6 +394,15 @@ class Trainer:
         t0 = time.time()
         want_trace = self.config.trace_dir is not None
         steps_per_epoch = len(train_loader) // max(1, self.config.accum_steps)
+        watch = PreemptionWatch()
+        with watch:
+            return self._fit_epochs(train_loader, val_loader, state, rng, t0,
+                                    want_trace, steps_per_epoch, start_epoch,
+                                    checkpointer, log_fn, watch)
+
+    def _fit_epochs(self, train_loader, val_loader, state, rng, t0,
+                    want_trace, steps_per_epoch, start_epoch,
+                    checkpointer, log_fn, watch):
         for epoch in range(start_epoch, self.config.epochs):
             losses = []
             for batch in self._train_inputs(train_loader):
@@ -368,6 +419,20 @@ class Trainer:
                 else:
                     state, m = self._dispatch_step(state, batch, rng)
                 losses.append(m["loss"])
+                if watch.requested:
+                    # Graceful shutdown (SIGTERM / preemption notice): save
+                    # the mid-epoch state into the ``last`` slot and stop at
+                    # this step boundary; --resume_from re-runs this epoch.
+                    if checkpointer is not None and hasattr(
+                            checkpointer, "save_preempted"):
+                        checkpointer.save_preempted(epoch, state)
+                    metrics = {"epoch": epoch, "preempted": True,
+                               "steps_into_epoch": len(losses),
+                               "wall_s": time.time() - t0}
+                    self.history.append(metrics)
+                    if log_fn:
+                        log_fn(metrics)
+                    return state
             train_loss = float(jnp.mean(jnp.stack(losses)))
             if self.config.halt_on_nonfinite and not np.isfinite(train_loss):
                 metrics = {"epoch": epoch, "train_loss": train_loss,
