@@ -69,9 +69,13 @@ def run(args):
                 checkpointer=ckpt, log_fn=log, start_epoch=start_epoch)
     elapsed = time.time() - t0
     if trainer.history and trainer.history[-1].get("preempted"):
+        # Exit 143 (128+SIGTERM) so pipelines (run_all, cluster managers)
+        # stop instead of forecasting a half-trained model in the
+        # preemption grace window.
         print(f"[Training Preempted] state saved at epoch "
               f"{trainer.history[-1]['epoch']}; continue with "
               f"--resume_from {args.ckpt_dir}")
+        raise SystemExit(143)
     print(f"[Training Completed] Time: {elapsed/60:.2f} minutes ({elapsed:.2f} seconds)")
     print(ckpt.best_model_path)
     return ckpt.best_model_path

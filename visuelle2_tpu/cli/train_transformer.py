@@ -78,9 +78,12 @@ def run(args):
     trainer.fit(loaders["train"], loaders["test"], state=state,
                 checkpointer=ckpt, log_fn=log, start_epoch=start_epoch)
     if trainer.history and trainer.history[-1].get("preempted"):
+        # Exit 143 (128+SIGTERM): stop pipelines in the grace window
+        # instead of forecasting a half-trained model.
         print(f"[Training Preempted] state saved at epoch "
               f"{trainer.history[-1]['epoch']}; continue with "
               f"--resume_from {args.ckpt_dir}")
+        raise SystemExit(143)
     print(f"[Training Completed] Time: {(time.time() - t0)/60:.2f} minutes")
     print(f"Best Model Path: {ckpt.best_model_path}")
     return ckpt.best_model_path
