@@ -264,6 +264,46 @@ def test_save_last_survives_topk_gc(tmp_path):
     ck2.close()
 
 
+def test_resume_from_auto(tmp_path):
+    """``--resume_from auto`` makes the same train command idempotent across
+    preemption restarts: empty --ckpt_dir starts fresh, populated resumes
+    (cli/common.py::prepare_initial_state)."""
+    from types import SimpleNamespace
+
+    import pytest
+    from flax import core
+
+    from visuelle2_tpu.cli.common import prepare_initial_state
+    from visuelle2_tpu.train.checkpoint import CheckpointManager
+    from visuelle2_tpu.train.loop import TrainState
+
+    def st(v):
+        return TrainState(step=jnp.asarray(v, jnp.int32),
+                          params=core.FrozenDict({"w": jnp.full((2,), float(v))}),
+                          batch_stats=core.FrozenDict(),
+                          opt_state={"m": jnp.zeros((2,))}, tx=None)
+
+    trainer = SimpleNamespace(init_state=lambda batch: st(0))
+    loaders = {"train": [None]}
+    args = SimpleNamespace(resume_from="auto", ckpt_dir=str(tmp_path / "ck"),
+                           pretrained_backbone="")
+
+    state, start = prepare_initial_state(trainer, loaders, args)
+    assert start == 0 and float(state.params["w"][0]) == 0.0
+
+    ck = CheckpointManager(args.ckpt_dir)
+    ck.save(3, st(5), {"val_wWAPE": 1.0, "val_mae": 1.0})
+    ck.close()
+    state, start = prepare_initial_state(trainer, loaders, args)
+    assert start == 4 and float(state.params["w"][0]) == 5.0
+
+    # An explicit (non-auto) path that holds no checkpoint stays an error.
+    args2 = SimpleNamespace(resume_from=str(tmp_path / "nowhere"),
+                            ckpt_dir=args.ckpt_dir, pretrained_backbone="")
+    with pytest.raises(SystemExit):
+        prepare_initial_state(trainer, loaders, args2)
+
+
 def test_checkpoint_save_restore(synthetic_dataset, tmp_path):
     from visuelle2_tpu.train.checkpoint import CheckpointManager
 

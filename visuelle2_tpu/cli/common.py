@@ -160,9 +160,14 @@ def prepare_initial_state(trainer, loaders, args):
     if getattr(args, "resume_from", ""):
         from visuelle2_tpu.train.checkpoint import CheckpointManager
 
+        # ``--resume_from auto`` makes the SAME train command idempotent
+        # across preemptions/restarts: resume from --ckpt_dir when it holds
+        # a checkpoint, start fresh when it doesn't (no error).
+        auto = args.resume_from == "auto"
+        resume_dir = args.ckpt_dir if auto else args.resume_from
         if state is None:
             state = trainer.init_state(next(iter(loaders["train"])))
-        src = CheckpointManager(args.resume_from)
+        src = CheckpointManager(resume_dir)
         try:
             # Prefers the ``last`` slot: the true latest state (top-k
             # retention may have deleted every epoch after the best one),
@@ -170,10 +175,13 @@ def prepare_initial_state(trainer, loaders, args):
             # interrupted epoch (train/checkpoint.py).
             state, start_epoch = src.restore_latest(state)
         except FileNotFoundError as e:
-            raise SystemExit(f"--resume_from: {e}")
+            if not auto:
+                raise SystemExit(f"--resume_from: {e}")
+            print(f"--resume_from auto: {resume_dir} empty, starting fresh")
+            return state, start_epoch
         finally:
             src.close()
-        print(f"resumed from {args.resume_from} -> epoch {start_epoch} "
+        print(f"resumed from {resume_dir} -> epoch {start_epoch} "
               f"(step {int(state.step)})")
     return state, start_epoch
 

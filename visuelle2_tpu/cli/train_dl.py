@@ -102,7 +102,7 @@ def build_parser():
                         "factor; BatchNorm stats weight unique photos)")
     p.add_argument("--ckpt_dir", type=str, default="ckpt_CrossAttnRNN210/")
     p.add_argument("--resume_from", type=str, default="",
-                   help="checkpoint directory to resume training from")
+                   help="checkpoint directory to resume training from; 'auto' resumes from --ckpt_dir when it holds a checkpoint (idempotent restart)")
     return p
 
 

@@ -113,7 +113,7 @@ def build_parser(default_model="gtm"):
                         "unique product photo once (FLOPs / duplication "
                         "factor; BatchNorm stats weight unique photos)")
     p.add_argument("--resume_from", type=str, default="",
-                   help="checkpoint directory to resume training from")
+                   help="checkpoint directory to resume training from; 'auto' resumes from --ckpt_dir when it holds a checkpoint (idempotent restart)")
     return p
 
 
