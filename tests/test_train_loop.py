@@ -147,6 +147,20 @@ def test_tensor_parallel_matches_replicated(synthetic_dataset, tmp_path):
                                                  rel=1e-5)
 
 
+class _RecordingCheckpointer:
+    """Captures the trainer's checkpoint calls (epoch saves vs the last-slot
+    emergency/autosave path) without touching orbax."""
+
+    def __init__(self):
+        self.autosaves, self.epoch_saves = [], []
+
+    def save(self, epoch, state, metrics):
+        self.epoch_saves.append(epoch)
+
+    def save_preempted(self, epoch, state):
+        self.autosaves.append((epoch, int(state.step)))
+
+
 class _PreemptingLoader:
     """Delivers a real SIGTERM to this process right before yielding batch
     ``after`` of every epoch (the cloud preemption notice, loop.py
@@ -184,7 +198,9 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     s1 = t1.fit(train_loader, val_loader, checkpointer=ckpt)
     steps_per_epoch = len(train_loader)
     assert int(s1.step) == 2 * steps_per_epoch
-    assert ckpt.latest_step() == 1
+    # The last slot is keyed by the GLOBAL step (mid-epoch saves must not
+    # collide), so latest_step reports the final step, not the epoch.
+    assert ckpt.latest_step() == 2 * steps_per_epoch
     ckpt.close()
 
     t2 = Trainer(model, TrainConfig(epochs=4, batch_size=16, learning_rate=1e-2))
@@ -221,6 +237,19 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     assert [h["epoch"] for h in t2.history] == [4, 5]
     assert int(s4.step) == int(s3.step) + 2 * steps_per_epoch
 
+    # --- Periodic autosave (same compiled steps): with a ~0 interval every
+    # step boundary ticks into the last-slot save path, independent of and
+    # before the normal end-of-epoch checkpoint.
+    rec = _RecordingCheckpointer()
+    t2.config.epochs = 7
+    t2.config.autosave_minutes = 1e-9
+    s5 = t2.fit(train_loader, val_loader, state=s4, checkpointer=rec,
+                start_epoch=6)
+    t2.config.autosave_minutes = 0.0
+    assert [e for e, _ in rec.autosaves] == [6] * steps_per_epoch
+    assert rec.autosaves[-1][1] == int(s5.step)
+    assert rec.epoch_saves == [6]
+
 
 def test_save_last_survives_topk_gc(tmp_path):
     """The top-k best retention deletes the newest epochs once the monitor
@@ -249,6 +278,14 @@ def test_save_last_survives_topk_gc(tmp_path):
     ck.save_preempted(7, st(77))
     restored, start = ck.restore_latest(st(0))
     assert float(restored.params["w"][0]) == 77.0 and start == 7
+    # An autosave at the FINAL step of an epoch collides with the
+    # epoch-complete save (same global step); the epoch-complete payload
+    # must win — orbax would otherwise silently skip it and the resume
+    # would re-run the finished epoch.
+    ck.save_preempted(8, st(99))
+    ck.save(8, st(99), {"val_wWAPE": 9.0, "val_mae": 9.0})
+    restored, start = ck.restore_latest(st(0))
+    assert float(restored.params["w"][0]) == 99.0 and start == 9
     # Best-checkpoint restore (forecast CLIs) is untouched by the last slot.
     assert float(ck.restore(st(0)).params["w"][0]) == 0.0
     ck.close()

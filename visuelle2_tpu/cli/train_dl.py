@@ -54,7 +54,8 @@ def run(args):
         epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
         norm_scalar=norm_scalar,
         trace_dir=getattr(args, "trace_dir", "") or None,
-        accum_steps=getattr(args, "accum_steps", 1)))
+        accum_steps=getattr(args, "accum_steps", 1),
+        autosave_minutes=getattr(args, "autosave_minutes", 0.0)))
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=2)  # train_dl.py:156
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
@@ -103,6 +104,9 @@ def build_parser():
     p.add_argument("--ckpt_dir", type=str, default="ckpt_CrossAttnRNN210/")
     p.add_argument("--resume_from", type=str, default="",
                    help="checkpoint directory to resume training from; 'auto' resumes from --ckpt_dir when it holds a checkpoint (idempotent restart)")
+    p.add_argument("--autosave_minutes", type=float, default=0.0,
+                   help="periodic autosave into the last checkpoint slot "
+                        "(bounds work lost to hard failures; 0 = off)")
     return p
 
 

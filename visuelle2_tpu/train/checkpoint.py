@@ -67,9 +67,21 @@ class CheckpointManager:
                 os.path.join(directory, "last"),
                 options=ocp.CheckpointManagerOptions(max_to_keep=1))
 
-    def _save_last(self, epoch: int, state, fit_epoch: int):
+    def _save_last(self, state, fit_epoch: int):
         payload = dict(_payload(state), fit_epoch=np.asarray(fit_epoch, np.int32))
-        self._last.save(epoch, args=ocp.args.StandardSave(payload))
+        # Keyed by the GLOBAL train step, not the epoch: orbax silently
+        # SKIPS a save whose step already exists (save() returns False), so
+        # epoch-keyed saves would turn every autosave/preemption save after
+        # the first within an epoch into a stale no-op.  The global step
+        # strictly increases across mid-epoch saves and process restarts —
+        # except when an autosave fires at the final step of an epoch and the
+        # epoch-complete save (same step, fit_epoch=epoch+1) follows: delete
+        # the colliding key so the newer payload wins instead of being
+        # silently skipped (which would rewind the resume a full epoch).
+        key = int(state.step)
+        if self._last.latest_step() == key:
+            self._last.delete(key)
+        self._last.save(key, args=ocp.args.StandardSave(payload))
         self._last.wait_until_finished()
 
     def save(self, epoch: int, state, metrics: Dict[str, float]):
@@ -80,12 +92,13 @@ class CheckpointManager:
             # Epoch complete: a resume continues at the NEXT epoch.  Kicked
             # off before waiting on the top-k save so the two async orbax
             # writes overlap.
-            self._save_last(epoch, state, fit_epoch=epoch + 1)
+            self._save_last(state, fit_epoch=epoch + 1)
         self._mgr.wait_until_finished()
 
     def save_preempted(self, epoch: int, state):
         """Emergency save at a STEP boundary inside ``epoch`` (graceful
-        SIGTERM shutdown, train/loop.py).  Lands only in the ``last`` slot —
+        SIGTERM shutdown, or the periodic ``autosave_minutes`` tick — both
+        train/loop.py).  Lands only in the ``last`` slot —
         it has no validation metrics, so it must never compete with the
         top-k best checkpoints — with ``fit_epoch`` pointing back at the
         interrupted epoch: the resumed run re-runs that epoch in full (its
@@ -93,16 +106,18 @@ class CheckpointManager:
         stream stays step-folded, so no draw repeats)."""
         if self._last is None:
             raise ValueError("save_preempted requires save_last=True")
-        self._save_last(epoch, state, fit_epoch=epoch)
+        self._save_last(state, fit_epoch=epoch)
 
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
     def latest_step(self) -> Optional[int]:
-        """Most recent saved epoch — what mid-training resume should restore
-        (best_step would silently rewind to an earlier epoch).  The ``last``
-        slot is authoritative when present: the top-k retention may have
-        garbage-collected every epoch after the best one."""
+        """Key of the most recent resumable save: the last slot's GLOBAL
+        train step when present (authoritative — the top-k retention may
+        have garbage-collected every epoch after the best one), else the
+        newest surviving top-k EPOCH.  Use ``restore_latest`` for resume —
+        it reads the recorded ``fit_epoch`` instead of interpreting this
+        key."""
         if self._last is not None:
             step = self._last.latest_step()
             if step is not None:

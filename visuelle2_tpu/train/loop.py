@@ -125,6 +125,12 @@ class TrainConfig:
     # history records the event, instead of burning the remaining epoch
     # budget training garbage.
     halt_on_nonfinite: bool = True
+    # Periodic wall-clock autosave into the checkpointer's ``last`` slot at
+    # step boundaries (0 = off).  Bounds the work lost to HARD failures —
+    # OOM kill, host crash, kernel panic — which deliver no SIGTERM for the
+    # PreemptionWatch to catch; a resume re-runs the epoch in progress,
+    # exactly like a preemption save.
+    autosave_minutes: float = 0.0
 
 
 class PreemptionWatch:
@@ -403,6 +409,10 @@ class Trainer:
     def _fit_epochs(self, train_loader, val_loader, state, rng, t0,
                     want_trace, steps_per_epoch, start_epoch,
                     checkpointer, log_fn, watch):
+        can_save_last = checkpointer is not None and hasattr(
+            checkpointer, "save_preempted")
+        autosave_s = self.config.autosave_minutes * 60.0
+        next_autosave = time.time() + autosave_s
         for epoch in range(start_epoch, self.config.epochs):
             losses = []
             for batch in self._train_inputs(train_loader):
@@ -419,12 +429,15 @@ class Trainer:
                 else:
                     state, m = self._dispatch_step(state, batch, rng)
                 losses.append(m["loss"])
+                if autosave_s and can_save_last and not watch.requested \
+                        and time.time() >= next_autosave:
+                    checkpointer.save_preempted(epoch, state)
+                    next_autosave = time.time() + autosave_s
                 if watch.requested:
                     # Graceful shutdown (SIGTERM / preemption notice): save
                     # the mid-epoch state into the ``last`` slot and stop at
                     # this step boundary; --resume_from re-runs this epoch.
-                    if checkpointer is not None and hasattr(
-                            checkpointer, "save_preempted"):
+                    if can_save_last:
                         checkpointer.save_preempted(epoch, state)
                     metrics = {"epoch": epoch, "preempted": True,
                                "steps_into_epoch": len(losses),
