@@ -104,6 +104,67 @@ def test_http_server_short_batch_on_windowed_artifact(tmp_path):
     np.testing.assert_allclose(got, expect, atol=1e-5)
 
 
+def test_micro_batcher_coalesces_concurrent_requests():
+    """Concurrent small requests share one full-batch device dispatch.
+
+    The first request dispatches immediately (idle device, zero added
+    latency); requests arriving while it is in flight queue up and the next
+    flush packs all of them into ONE padded dispatch — here 4 requests cost
+    2 dispatches, and every client still gets exactly its own rows back."""
+    import threading
+    import time as _time
+
+    from visuelle2_tpu.eval.server import MicroBatcher
+
+    release = threading.Event()
+    calls = []
+
+    def fn(batch):
+        calls.append(True)
+        if len(calls) == 1:  # hold the first dispatch so arrivals queue
+            release.wait(30)
+        return np.asarray(batch["x"]) * 2.0
+
+    mb = MicroBatcher(fn, ["mask", "x"], {"mask": (8,), "x": (8, 2)})
+    results = {}
+
+    def client(i, n):
+        arr = {"mask": np.ones(n, np.float32),
+               "x": np.full((n, 2), float(i + 1), np.float32)}
+        results[i] = (arr["x"].copy(), mb.submit(arr))
+
+    t0 = threading.Thread(target=client, args=(0, 2))
+    t0.start()
+    for _ in range(3000):  # wait until dispatch 1 is in flight
+        if calls:
+            break
+        _time.sleep(0.01)
+    ts = [threading.Thread(target=client, args=(i, 2)) for i in (1, 2, 3)]
+    for t in ts:
+        t.start()
+    for _ in range(3000):  # wait until all three are queued behind it
+        if len(mb._queue) == 3:
+            break
+        _time.sleep(0.01)
+    release.set()
+    for t in [t0] + ts:
+        t.join(30)
+    assert mb.dispatches == 2  # 1 solo + 1 coalescing the other 3
+    for i, (x, out) in results.items():
+        np.testing.assert_allclose(out, x * 2.0)
+    # Capacity respected: 5 × 2 rows > 8 can never pack into one dispatch.
+    take, rows = mb._take()
+    assert take == [] and rows == 0
+    mb.close()
+
+    # Row-count mismatch across keys is rejected up front.
+    mb2 = MicroBatcher(fn, ["mask", "x"], {"mask": (8,), "x": (8, 2)})
+    with pytest.raises(ValueError, match="share the sample axis"):
+        mb2.submit({"mask": np.ones(3, np.float32),
+                    "x": np.zeros((2, 2), np.float32)})
+    mb2.close()
+
+
 def test_export_rejects_wrong_file(tmp_path):
     from visuelle2_tpu.eval.export import load_forecaster
 

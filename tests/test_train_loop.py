@@ -250,6 +250,23 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     assert rec.autosaves[-1][1] == int(s5.step)
     assert rec.epoch_saves == [6]
 
+    # --- Early stopping (same compiled steps): scripted monitor values —
+    # improve, improve, stale, stale -> stop after patience=2 stale epochs,
+    # leaving the rest of the epoch budget untrained.
+    vals = iter([5.0, 4.0, 4.0, 4.0, 99.0])
+    t2.evaluate = lambda state, loader: {"val_mae": 0.0,
+                                         "val_wWAPE": next(vals)}
+    t2.config.epochs = 40
+    t2.config.early_stop_patience = 2
+    t2.history.clear()
+    step5 = int(s5.step)  # before fit donates s5's buffers
+    s6 = t2.fit(train_loader, val_loader, state=s5, start_epoch=7)
+    del t2.evaluate
+    t2.config.early_stop_patience = 0
+    assert [h["epoch"] for h in t2.history] == [7, 8, 9, 10]
+    assert t2.history[-1]["early_stopped"] == 2
+    assert int(s6.step) == step5 + 4 * steps_per_epoch
+
 
 def test_save_last_survives_topk_gc(tmp_path):
     """The top-k best retention deletes the newest epochs once the monitor

@@ -67,7 +67,8 @@ def run(args):
         grad_clip=0.5, norm_scalar=norm_scalar,
         trace_dir=getattr(args, "trace_dir", "") or None,
         accum_steps=getattr(args, "accum_steps", 1),
-        autosave_minutes=getattr(args, "autosave_minutes", 0.0)))
+        autosave_minutes=getattr(args, "autosave_minutes", 0.0),
+        early_stop_patience=getattr(args, "early_stop_patience", 0)))
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=1)
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
@@ -118,6 +119,9 @@ def build_parser(default_model="gtm"):
     p.add_argument("--autosave_minutes", type=float, default=0.0,
                    help="periodic autosave into the last checkpoint slot "
                         "(bounds work lost to hard failures; 0 = off)")
+    p.add_argument("--early_stop_patience", type=int, default=0,
+                   help="stop after N epochs without val_wWAPE improving "
+                        "(Lightning EarlyStopping analogue; 0 = off)")
     return p
 
 

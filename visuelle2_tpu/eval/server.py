@@ -11,12 +11,22 @@ Protocol (npz in / npz out — numpy's own wire format, no extra deps):
 * ``POST /forecast`` — body is an ``.npz`` containing the batch arrays
   (the artifact header's keys).  Short batches are zero-padded to the
   export batch size per key and the response is sliced back, so clients
-  may send 1..B rows.  Response ``.npz`` has one array ``forecast``.
-* ``GET /health`` — JSON with the artifact's keys/shapes and a monotonic
-  request counter.
+  may send 1..B rows.
+* ``GET /health`` — JSON with the artifact's keys/shapes, a request
+  counter, and the device-dispatch counter (see below).
 
-The compiled call is serialized with a lock: one model execution at a time
-(the device is the bottleneck; queueing in threads adds nothing).
+Concurrent small requests are COALESCED into one device dispatch
+(``MicroBatcher``): the compiled call always runs the full export batch B,
+so a 1-row request costs exactly as much device time as a B-row one — under
+concurrency, packing K requests' rows into one padded batch is a ~K×
+throughput win.  The policy adds zero latency: an idle device dispatches
+immediately with whatever is queued; while a dispatch is in flight, new
+arrivals queue and the next flush packs them FIFO up to the row capacity.
+Dedup artifacts (``img_idx`` indirection into a shared image-slot array,
+eval/export.py) are served one request per dispatch instead — their rows
+reference request-local slot indices, so row-concat coalescing would need
+image repacking; the batch-scoring path in cli/serve.py covers dedup
+throughput.
 """
 
 from __future__ import annotations
@@ -27,6 +37,140 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class _Pending:
+    __slots__ = ("arrays", "rows", "event", "result", "error")
+
+    def __init__(self, arrays, rows):
+        self.arrays = arrays
+        self.rows = rows
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Packs concurrent forecast requests into shared full-batch dispatches.
+
+    ``forecast_fn`` is only ever called from the single worker thread, so the
+    compiled call needs no lock.  ``submit`` blocks the calling (handler)
+    thread until its slice of a dispatch is ready.
+    """
+
+    def __init__(self, forecast_fn, keys, shapes):
+        self._fn = forecast_fn
+        self._keys = keys
+        self._shapes = shapes
+        self._capacity = shapes["mask"][0] if "mask" in shapes else \
+            next(iter(shapes.values()))[0]
+        self._cv = threading.Condition()
+        self._queue = []
+        self._closed = False
+        self.dispatches = 0
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- client API
+    def submit(self, arrays) -> np.ndarray:
+        rows = self._validate(arrays)
+        req = _Pending(arrays, rows)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server shutting down")
+            self._queue.append(req)
+            self._cv.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    # --------------------------------------------------------------- internal
+    def _validate(self, arrays) -> int:
+        missing = set(self._keys) - set(arrays)
+        if missing:
+            raise ValueError(f"batch missing keys: {sorted(missing)}")
+        rows = None
+        for k in self._keys:
+            a = np.asarray(arrays[k])
+            want = self._shapes[k]
+            if list(a.shape[1:]) != list(want[1:]):
+                raise ValueError(f"'{k}' trailing dims {a.shape[1:]} "
+                                 f"!= export {tuple(want[1:])}")
+            if a.shape[0] > want[0]:
+                raise ValueError(f"'{k}' has {a.shape[0]} rows > "
+                                 f"export batch {want[0]}")
+            if rows is None:
+                rows = a.shape[0]
+            elif a.shape[0] != rows:
+                raise ValueError(
+                    f"'{k}' has {a.shape[0]} rows but other keys have "
+                    f"{rows} — all arrays must share the sample axis")
+        if rows == 0:
+            raise ValueError("empty batch")
+        return rows
+
+    def _take(self):
+        """FIFO-pack queued requests into one dispatch, up to capacity."""
+        take, rows = [], 0
+        while self._queue and rows + self._queue[0].rows <= self._capacity:
+            req = self._queue.pop(0)
+            take.append(req)
+            rows += req.rows
+        return take, rows
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+                take, rows = self._take()
+            try:
+                combined = {}
+                for k in self._keys:
+                    parts = [np.asarray(r.arrays[k]) for r in take]
+                    a = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                    want_rows = self._shapes[k][0]
+                    if a.shape[0] < want_rows:
+                        pad = [(0, want_rows - a.shape[0])] + \
+                              [(0, 0)] * (a.ndim - 1)
+                        a = np.pad(a, pad)
+                    combined[k] = a
+                out = np.asarray(self._fn(combined))
+                self.dispatches += 1
+                # Window-flattened outputs ([B*W, ...], CrossAttnRNN210-style
+                # stfore, models/cross_attn_rnn.py:270) slice per SAMPLE.
+                B = self._capacity
+                if out.shape[0] != B:
+                    if out.shape[0] % B:
+                        raise ValueError(
+                            f"forecast rows {out.shape[0]} not a multiple "
+                            f"of the export batch {B}")
+                    w = out.shape[0] // B
+                    per_sample = out.reshape((B, w) + out.shape[1:])
+                else:
+                    w, per_sample = 0, out
+                off = 0
+                for r in take:
+                    if w:
+                        lead = per_sample[off:off + r.rows]
+                        r.result = lead.reshape((r.rows * w,) + out.shape[1:])
+                    else:
+                        r.result = per_sample[off:off + r.rows]
+                    off += r.rows
+            except Exception as e:  # propagate to every waiter in this pack
+                for r in take:
+                    r.error = e
+            for r in take:
+                r.event.set()
 
 
 def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
@@ -42,8 +186,10 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
     # sample-leading axis (models/cross_attn_rnn.py:270), so short-batch
     # responses must be sliced per SAMPLE, not per output row.
     batch_rows = shapes.get("mask", (0,))[0]
-    lock = threading.Lock()
+    dedup = "img_idx" in keys
     stats = {"requests": 0}
+    batcher = None if dedup else MicroBatcher(forecast_fn, keys, shapes)
+    lock = threading.Lock()
 
     def slice_rows(out, n):
         """Slice a model output back to the client's ``n`` real samples."""
@@ -59,12 +205,12 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
             return lead.reshape((n * w,) + out.shape[1:])
         return out[:n]
 
-    def run_batch(arrays):
+    def run_dedup(arrays):
+        """One dispatch per request: img_idx rows index the request's own
+        image slots, so requests cannot be row-concatenated."""
         missing = set(keys) - set(arrays)
         if missing:
             raise ValueError(f"batch missing keys: {sorted(missing)}")
-        # Real-row count from the mask (every batch dict carries one); the
-        # response forecast is sliced back to it.
         n = np.asarray(arrays["mask"]).shape[0] if "mask" in arrays else None
         padded = {}
         for k in keys:
@@ -83,8 +229,13 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
             padded[k] = a
         with lock:
             out = np.asarray(forecast_fn(padded))
-            stats["requests"] += 1
         return slice_rows(out, n)
+
+    def run_batch(arrays):
+        stats["requests"] += 1
+        if batcher is not None:
+            return batcher.submit(arrays)
+        return run_dedup(arrays)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -104,6 +255,9 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
                 "ok": True, "keys": keys,
                 "shapes": {k: list(v) for k, v in shapes.items()},
                 "requests": stats["requests"],
+                "dispatches": batcher.dispatches if batcher else
+                stats["requests"],
+                "batched": batcher is not None,
             }).encode()
             self._send(200, body, "application/json")
 
@@ -122,7 +276,9 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
                 self._send(400, f"{type(e).__name__}: {e}".encode(),
                            "text/plain")
 
-    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    srv.batcher = batcher  # tests / shutdown hook
+    return srv
 
 
 def serve_forever(forecast_fn, header, port: int):
@@ -133,3 +289,6 @@ def serve_forever(forecast_fn, header, port: int):
         srv.serve_forever()
     except KeyboardInterrupt:
         srv.shutdown()
+    finally:
+        if srv.batcher is not None:
+            srv.batcher.close()

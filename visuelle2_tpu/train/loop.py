@@ -131,6 +131,14 @@ class TrainConfig:
     # PreemptionWatch to catch; a resume re-runs the epoch in progress,
     # exactly like a preemption save.
     autosave_minutes: float = 0.0
+    # Early stopping (Lightning ``EarlyStopping(monitor="val_wWAPE",
+    # mode="min")`` analogue; the reference trains a fixed 50 epochs,
+    # train_dl.py:203).  Stop after this many consecutive epochs without
+    # the monitored val_wWAPE improving by more than ``early_stop_min_delta``
+    # (0 = off).  The best checkpoint is already on disk when this fires —
+    # the top-k retention keys on the same monitor.
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
 
 
 class PreemptionWatch:
@@ -413,6 +421,7 @@ class Trainer:
             checkpointer, "save_preempted")
         autosave_s = self.config.autosave_minutes * 60.0
         next_autosave = time.time() + autosave_s
+        best_monitor, stale_epochs = np.inf, 0
         for epoch in range(start_epoch, self.config.epochs):
             losses = []
             for batch in self._train_inputs(train_loader):
@@ -458,9 +467,20 @@ class Trainer:
             metrics = self.evaluate(state, val_loader)
             metrics.update(epoch=epoch, train_loss=train_loss,
                            wall_s=time.time() - t0)
+            patience = self.config.early_stop_patience
+            if patience:
+                if metrics["val_wWAPE"] < best_monitor - \
+                        self.config.early_stop_min_delta:
+                    best_monitor, stale_epochs = metrics["val_wWAPE"], 0
+                else:
+                    stale_epochs += 1
+                    if stale_epochs >= patience:
+                        metrics["early_stopped"] = stale_epochs
             self.history.append(metrics)
             if log_fn:
                 log_fn(metrics)
             if checkpointer is not None:
                 checkpointer.save(epoch, state, metrics)
+            if metrics.get("early_stopped"):
+                return state
         return state
