@@ -104,6 +104,61 @@ def test_http_server_short_batch_on_windowed_artifact(tmp_path):
     np.testing.assert_allclose(got, expect, atol=1e-5)
 
 
+def test_quantized_export_smaller_and_close(tmp_path):
+    """Weight-only int8 export: per-channel dequant error is bounded by
+    scale/2 per weight, the artifact shrinks, and the served outputs stay
+    close to the live model."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.eval.export import (_quantize_variables,
+                                           export_forecaster,
+                                           load_forecaster)
+    from visuelle2_tpu.models import VocabSizes, build
+
+    # --- numerics unit: dequant error bound, small/1-D leaves untouched.
+    rng = np.random.default_rng(3)
+    tree = {"params": {
+        "kernel": rng.normal(size=(64, 96)).astype(np.float32) * 3.0,
+        "bias": rng.normal(size=(96,)).astype(np.float32),
+        "tiny": rng.normal(size=(2, 2)).astype(np.float32),
+        "zero": np.zeros((64, 96), np.float32),
+        "bf16": (rng.normal(size=(64, 96)) * 0.1).astype(jnp.bfloat16),
+    }}
+    materialize, n_q = _quantize_variables(tree, min_size=1024)
+    assert n_q == 3  # kernel, zero, bf16 — not bias (1-D) or tiny (small)
+    deq = jax.tree_util.tree_map(np.asarray, materialize())
+    p, q = tree["params"], deq["params"]
+    np.testing.assert_array_equal(p["bias"], q["bias"])
+    np.testing.assert_array_equal(p["tiny"], q["tiny"])
+    np.testing.assert_array_equal(q["zero"], 0.0)
+    assert q["bf16"].dtype == jnp.bfloat16  # original dtype restored
+    scale = np.abs(p["kernel"]).max(axis=0) / 127.0
+    assert np.all(np.abs(p["kernel"] - q["kernel"]) <= scale / 2 + 1e-7)
+
+    # --- end-to-end: quantized artifact vs live model.
+    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+                  embedding_dim=16, hidden_dim=16, image_arch="tiny")
+    batch = _synthetic_batch(8, 32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, batch, train=False)
+    p_full = str(tmp_path / "full.v2tpu")
+    p_q = str(tmp_path / "q.v2tpu")
+    size_full = export_forecaster(model, variables, batch, p_full)
+    size_q = export_forecaster(model, variables, batch, p_q,
+                               quantize="int8", quantize_min_size=64)
+    assert size_q < 0.75 * size_full  # the weight constants dominate
+    fn_q, header = load_forecaster(p_q)
+    assert header["quantize"] == "int8" and header["quantized_arrays"] > 0
+    want, _ = model.apply(variables, batch, train=False)
+    got = np.asarray(fn_q(batch))
+    want = np.asarray(want)
+    # int8 weights perturb outputs slightly; demand forecasts are O(0.1-1).
+    err = np.abs(got - want).max()
+    assert err < 0.05 * max(np.abs(want).max(), 1e-3), err
+
+
 def test_micro_batcher_coalesces_concurrent_requests():
     """Concurrent small requests share one full-batch device dispatch.
 

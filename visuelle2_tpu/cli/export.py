@@ -107,7 +107,8 @@ def run(args):
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    size = export_forecaster(model, variables, batch, args.out)
+    size = export_forecaster(model, variables, batch, args.out,
+                             quantize=args.quantize or None)
     print(f"Exported serving artifact: {args.out} ({size / 1e6:.1f} MB)")
     return args.out
 
@@ -141,6 +142,10 @@ def build_parser():
     p.add_argument("--image_slots", type=int, default=0,
                    help="export a unique-image (dedup) signature with this "
                         "many image slots + an img_idx map")
+    p.add_argument("--quantize", type=str, default="",
+                   choices=["", "none", "int8"],
+                   help="weight-only int8 artifact (~4x smaller; "
+                        "eval/export.py)")
     return p
 
 

@@ -61,7 +61,8 @@ def run(args):
         from visuelle2_tpu.eval.export import export_forecaster
 
         size = export_forecaster(model, variables,
-                                 next(iter(loaders["test"])), args.export)
+                                 next(iter(loaders["test"])), args.export,
+                                 quantize=getattr(args, "quantize", None))
         print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
     if getattr(args, "dump_attention", ""):
         from visuelle2_tpu.eval.forecast import dump_attention
@@ -105,6 +106,9 @@ def build_parser():
                    help="checkpoint directory written by train_dl")
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
+    p.add_argument("--quantize", type=str, default="",
+                   choices=["", "none", "int8"],
+                   help="weight-only int8 artifact (~4x smaller; eval/export.py)")
     p.add_argument("--dump_attention", type=str, default="",
                    help="save the first test batch's attention weights "
                         "(.npz) — per-step img/trend/multimodal alphas "
