@@ -17,6 +17,19 @@ def test_forecast_stat_cli(synthetic_dataset, capsys):
     assert "Results for ses" in out
 
 
+def test_forecaster_num_layers_alias():
+    """The reference forecasters spell the decoder-depth flag --num_layers
+    (forecast_GTM.py:279) while its trainers say --num_hidden_layers
+    (train_GTM_visuelle2.py:168); both must parse into the same dest so
+    reference forecast commands drop in unchanged."""
+    from visuelle2_tpu.cli import forecast_transformer
+
+    p = forecast_transformer.build_parser
+    assert p().parse_args(["--num_layers", "3"]).num_hidden_layers == 3
+    assert p().parse_args(["--num_hidden_layers", "2"]).num_hidden_layers == 2
+    assert p().parse_args([]).num_hidden_layers == 1
+
+
 
 @pytest.fixture(scope="module")
 def trained_ck21(synthetic_dataset, tmp_path_factory):

@@ -7,6 +7,8 @@ one-pass sharded scorer.
 
 from __future__ import annotations
 
+import argparse
+
 from visuelle2_tpu.cli.common import build_loaders
 from visuelle2_tpu.cli.train_transformer import make_model
 from visuelle2_tpu.eval.forecast import score_split
@@ -77,6 +79,14 @@ def build_parser(default_model="gtm"):
 
     p = train_parser(default_model)
     p.add_argument("--ckpt_path", type=str, default="")
+    # The reference FORECASTERS call this flag --num_layers while its
+    # trainers say --num_hidden_layers (forecast_GTM.py:279 vs
+    # train_GTM_visuelle2.py:168); accept both so reference forecast
+    # commands drop in unchanged.
+    p.add_argument("--num_layers", dest="num_hidden_layers", type=int,
+                   default=argparse.SUPPRESS,
+                   help="alias of --num_hidden_layers (reference "
+                        "forecaster spelling)")
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
     p.add_argument("--quantize", type=str, default="",
