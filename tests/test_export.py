@@ -230,17 +230,15 @@ def test_export_rejects_wrong_file(tmp_path):
 
 
 def test_http_server_serves_artifact(tmp_path):
-    """The stdlib HTTP server: full-batch and short-batch (auto-padded)
-    inference over the artifact match the direct call; bad input -> 400."""
-    import io
-    import json
+    """The stdlib HTTP server driven through the shipped ForecastClient:
+    full-batch and short-batch (auto-padded) inference over the artifact
+    match the direct call; bad input raises ServerError with the reason."""
     import threading
-    import urllib.request
-    import urllib.error
 
     import jax
 
     from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.eval.client import ForecastClient, ServerError
     from visuelle2_tpu.eval.export import export_forecaster, load_forecaster
     from visuelle2_tpu.eval.server import make_server
     from visuelle2_tpu.models import VocabSizes, build
@@ -259,36 +257,23 @@ def test_http_server_serves_artifact(tmp_path):
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    client = ForecastClient(f"http://127.0.0.1:{port}")
     try:
-        def post(arrays):
-            buf = io.BytesIO()
-            np.savez(buf, **arrays)
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/forecast", data=buf.getvalue(),
-                method="POST")
-            with urllib.request.urlopen(req, timeout=120) as r:
-                return np.load(io.BytesIO(r.read()))["forecast"]
-
         want = np.asarray(fn(batch))
-        np.testing.assert_allclose(post(batch), want, atol=1e-5)
+        np.testing.assert_allclose(client.forecast(batch), want, atol=1e-5)
 
         # Short batch: 3 rows -> server pads to 8, slices back to 3.
         short = {k: np.asarray(v)[:3] for k, v in batch.items()}
-        got = post(short)
+        got = client.forecast(short)
         assert got.shape[0] == 3
         np.testing.assert_allclose(got, want[:3], atol=1e-5)
 
-        with urllib.request.urlopen(
-                f"http://127.0.0.1:{port}/health", timeout=30) as r:
-            h = json.loads(r.read())
+        h = client.health()
         assert h["ok"] and h["requests"] == 2 and "images" in h["keys"]
+        assert h["batched"] and h["dispatches"] <= h["requests"]
 
-        # Missing key -> 400 with the reason.
-        try:
-            post({"ts": batch["ts"]})
-            assert False, "expected HTTP 400"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
-            assert b"missing keys" in e.read()
+        # Missing key -> HTTP 400 surfaced as ServerError with the reason.
+        with pytest.raises(ServerError, match="missing keys"):
+            client.forecast({"ts": batch["ts"]})
     finally:
         srv.shutdown()

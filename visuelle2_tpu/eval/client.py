@@ -1,0 +1,57 @@
+"""Python client for the HTTP inference server — stdlib + numpy only.
+
+Counterpart of ``eval/server.py``: wraps the npz-over-HTTP protocol so a
+deployment's callers need neither jax nor this package's model code:
+
+    from visuelle2_tpu.eval.client import ForecastClient
+    client = ForecastClient("http://tpu-host:8080")
+    forecast = client.forecast({"images": ..., "ts": ..., "mask": ...})
+
+(Any HTTP client in any language works — the wire format is numpy's own
+``.npz`` both ways; this class just packages the three-line encode/decode
+and turns the server's 400 reasons into raised ``ServerError``s.)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.error
+import urllib.request
+from typing import Dict
+
+import numpy as np
+
+
+class ServerError(RuntimeError):
+    """The server rejected the request (HTTP 400 body = the reason)."""
+
+
+class ForecastClient:
+    def __init__(self, base_url: str, timeout: float = 120.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def health(self) -> dict:
+        """Server signature: batch keys/shapes, requests/dispatches counters
+        (their ratio is the achieved request-coalescing factor)."""
+        with urllib.request.urlopen(f"{self.base_url}/health",
+                                    timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    def forecast(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        """POST a batch (1..B rows; all arrays share the sample axis) and
+        return the model-space forecasts for exactly those rows.  Rescaling
+        by the norm scalar stays with the caller, as in the reference's
+        eval scripts (forecast_dl.py:176-198)."""
+        buf = io.BytesIO()
+        np.savez(buf, **{k: np.asarray(v) for k, v in batch.items()})
+        req = urllib.request.Request(f"{self.base_url}/forecast",
+                                     data=buf.getvalue(), method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return np.load(io.BytesIO(r.read()))["forecast"]
+        except urllib.error.HTTPError as e:
+            if e.code == 400:
+                raise ServerError(e.read().decode()) from None
+            raise
