@@ -151,9 +151,13 @@ def apply_pretrained_backbone(state, args):
 
 def prepare_initial_state(trainer, loaders, args):
     """Shared train-CLI prologue: pretrained-backbone splice and/or
-    resume-from-latest-epoch.  Returns ``(state_or_None, start_epoch)``."""
+    resume-from-latest-epoch.  Returns ``(state_or_None, start_epoch,
+    skip_steps)`` — ``skip_steps`` > 0 means the restored state already
+    contains that many optimizer steps of ``start_epoch`` (mid-epoch
+    preemption/autosave save) and ``fit`` must skip them."""
     state = None
     start_epoch = 0
+    skip_steps = 0
     if getattr(args, "pretrained_backbone", ""):
         state = trainer.init_state(next(iter(loaders["train"])))
         state = apply_pretrained_backbone(state, args)
@@ -171,19 +175,21 @@ def prepare_initial_state(trainer, loaders, args):
         try:
             # Prefers the ``last`` slot: the true latest state (top-k
             # retention may have deleted every epoch after the best one),
-            # including a preemption save whose fit_epoch re-runs the
-            # interrupted epoch (train/checkpoint.py).
-            state, start_epoch = src.restore_latest(state)
+            # including a preemption save whose fit_epoch/fit_skip continue
+            # the interrupted epoch at the exact next step
+            # (train/checkpoint.py).
+            state, start_epoch, skip_steps = src.restore_latest(state)
         except FileNotFoundError as e:
             if not auto:
                 raise SystemExit(f"--resume_from: {e}")
             print(f"--resume_from auto: {resume_dir} empty, starting fresh")
-            return state, start_epoch
+            return state, start_epoch, skip_steps
         finally:
             src.close()
+        skipping = f" skipping {skip_steps} done steps" if skip_steps else ""
         print(f"resumed from {resume_dir} -> epoch {start_epoch} "
-              f"(step {int(state.step)})")
-    return state, start_epoch
+              f"(step {int(state.step)}){skipping}")
+    return state, start_epoch, skip_steps
 
 
 class JsonlLogger:

@@ -64,11 +64,12 @@ def run(args):
     # never wires ckpt_path into fit; we support both — SURVEY.md §5).
     from visuelle2_tpu.cli.common import prepare_initial_state
 
-    state, start_epoch = prepare_initial_state(trainer, loaders, args)
+    state, start_epoch, skip_steps = prepare_initial_state(trainer, loaders, args)
 
     t0 = time.time()
     trainer.fit(loaders["train"], loaders["test"], state=state,
-                checkpointer=ckpt, log_fn=log, start_epoch=start_epoch)
+                checkpointer=ckpt, log_fn=log, start_epoch=start_epoch,
+                skip_steps=skip_steps)
     elapsed = time.time() - t0
     if trainer.history and trainer.history[-1].get("preempted"):
         # Exit 143 (128+SIGTERM) so pipelines (run_all, cluster managers)

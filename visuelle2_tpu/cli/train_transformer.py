@@ -74,11 +74,12 @@ def run(args):
 
     from visuelle2_tpu.cli.common import prepare_initial_state
 
-    state, start_epoch = prepare_initial_state(trainer, loaders, args)
+    state, start_epoch, skip_steps = prepare_initial_state(trainer, loaders, args)
 
     t0 = time.time()
     trainer.fit(loaders["train"], loaders["test"], state=state,
-                checkpointer=ckpt, log_fn=log, start_epoch=start_epoch)
+                checkpointer=ckpt, log_fn=log, start_epoch=start_epoch,
+                skip_steps=skip_steps)
     if trainer.history and trainer.history[-1].get("preempted"):
         # Exit 143 (128+SIGTERM): stop pipelines in the grace window
         # instead of forecasting a half-trained model.

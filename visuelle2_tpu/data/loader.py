@@ -124,6 +124,15 @@ class BatchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int):
+        """Pin the next iteration's shuffle to (seed, epoch) — the torch
+        ``DistributedSampler.set_epoch`` analogue.  ``Trainer.fit`` calls
+        this at every epoch start so a RESUMED process replays exactly the
+        epoch orders the uninterrupted run would have used (required for
+        exact mid-epoch resume, train/loop.py); bare iteration without it
+        keeps the internal auto-incrementing counter."""
+        self._epoch = int(epoch)
+
     @property
     def num_examples(self) -> int:
         return len(self.arrays)

@@ -15,7 +15,8 @@ manager under ``<dir>/last`` that always holds the most recent state plus
 the epoch the next ``fit`` should start at (``fit_epoch``); it is also the
 landing place for preemption saves (``save_preempted``), which may capture a
 MID-epoch state — their ``fit_epoch`` points back at the interrupted epoch
-so the resumed run re-runs it.
+and ``fit_skip`` records how many of its optimizer steps the state already
+contains, so the resumed run continues at the exact next step.
 """
 
 from __future__ import annotations
@@ -67,8 +68,9 @@ class CheckpointManager:
                 os.path.join(directory, "last"),
                 options=ocp.CheckpointManagerOptions(max_to_keep=1))
 
-    def _save_last(self, state, fit_epoch: int):
-        payload = dict(_payload(state), fit_epoch=np.asarray(fit_epoch, np.int32))
+    def _save_last(self, state, fit_epoch: int, fit_skip: int = 0):
+        payload = dict(_payload(state), fit_epoch=np.asarray(fit_epoch, np.int32),
+                       fit_skip=np.asarray(fit_skip, np.int32))
         # Keyed by the GLOBAL train step, not the epoch: orbax silently
         # SKIPS a save whose step already exists (save() returns False), so
         # epoch-keyed saves would turn every autosave/preemption save after
@@ -95,18 +97,20 @@ class CheckpointManager:
             self._save_last(state, fit_epoch=epoch + 1)
         self._mgr.wait_until_finished()
 
-    def save_preempted(self, epoch: int, state):
+    def save_preempted(self, epoch: int, state, steps_into_epoch: int = 0):
         """Emergency save at a STEP boundary inside ``epoch`` (graceful
         SIGTERM shutdown, or the periodic ``autosave_minutes`` tick — both
-        train/loop.py).  Lands only in the ``last`` slot —
-        it has no validation metrics, so it must never compete with the
-        top-k best checkpoints — with ``fit_epoch`` pointing back at the
-        interrupted epoch: the resumed run re-runs that epoch in full (its
-        leading batches train twice on slightly-advanced params; the rng
-        stream stays step-folded, so no draw repeats)."""
+        train/loop.py).  Lands only in the ``last`` slot — it has no
+        validation metrics, so it must never compete with the top-k best
+        checkpoints — with ``fit_epoch`` pointing back at the interrupted
+        epoch and ``fit_skip`` recording how many optimizer steps of it are
+        already inside the state: the resumed run skips exactly those and
+        reproduces the uninterrupted run (the loader's epoch order is
+        (seed, epoch)-deterministic via ``set_epoch`` and the rng stream is
+        step-folded)."""
         if self._last is None:
             raise ValueError("save_preempted requires save_last=True")
-        self._save_last(state, fit_epoch=epoch)
+        self._save_last(state, fit_epoch=epoch, fit_skip=steps_into_epoch)
 
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
@@ -146,28 +150,35 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(_payload(state)))
         return self._apply(state, restored)
 
-    def restore_latest(self, state) -> Tuple[object, int]:
+    def restore_latest(self, state) -> Tuple[object, int, int]:
         """Restore the most recent state for mid-training resume.
 
-        Returns ``(state, start_epoch)``.  Prefers the ``last`` slot (true
-        latest, possibly a preemption save whose ``fit_epoch`` re-runs the
-        interrupted epoch); falls back to the newest SURVIVING top-k
-        checkpoint for pre-``save_last`` directory layouts."""
+        Returns ``(state, start_epoch, skip_steps)``: resume training at
+        ``start_epoch``, skipping its first ``skip_steps`` optimizer steps
+        (non-zero only for mid-epoch preemption/autosave saves — those
+        steps are already inside the state, and skipping them makes the
+        resumed run reproduce the uninterrupted one).  Prefers the ``last``
+        slot (true latest — the top-k retention may have deleted every
+        epoch after the best one); falls back to the newest SURVIVING
+        top-k checkpoint for pre-``save_last`` directory layouts."""
         if self._last is not None:
             step = self._last.latest_step()
             if step is not None:
                 template = dict(_payload(state),
-                                fit_epoch=np.asarray(0, np.int32))
+                                fit_epoch=np.asarray(0, np.int32),
+                                fit_skip=np.asarray(0, np.int32))
                 restored = self._last.restore(
                     step, args=ocp.args.StandardRestore(template))
-                return self._apply(state, restored), int(restored["fit_epoch"])
+                return (self._apply(state, restored),
+                        int(restored["fit_epoch"]),
+                        int(restored["fit_skip"]))
         step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(
                 f"{self.directory}: no checkpoints to resume from")
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(_payload(state)))
-        return self._apply(state, restored), step + 1
+        return self._apply(state, restored), step + 1, 0
 
     def restore_for_eval(self, state, step: Optional[int] = None):
         """Restore params + batch_stats only (inference / forecast CLIs).

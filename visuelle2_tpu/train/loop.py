@@ -128,7 +128,7 @@ class TrainConfig:
     # Periodic wall-clock autosave into the checkpointer's ``last`` slot at
     # step boundaries (0 = off).  Bounds the work lost to HARD failures —
     # OOM kill, host crash, kernel panic — which deliver no SIGTERM for the
-    # PreemptionWatch to catch; a resume re-runs the epoch in progress,
+    # PreemptionWatch to catch; a resume continues at the exact next step,
     # exactly like a preemption save.
     autosave_minutes: float = 0.0
     # Early stopping (Lightning ``EarlyStopping(monitor="val_wWAPE",
@@ -391,11 +391,15 @@ class Trainer:
     def fit(self, train_loader: BatchLoader, val_loader: BatchLoader,
             state: Optional[TrainState] = None, checkpointer=None,
             log_fn: Callable[[Dict], None] = None,
-            start_epoch: int = 0) -> TrainState:
+            start_epoch: int = 0, skip_steps: int = 0) -> TrainState:
         """``start_epoch`` carries a resumed run's position so it trains only
-        the remaining epochs (a resume that restarts at 0 double-trains).
-        The per-step rng stream continues correctly either way: train_step
-        folds the restored global ``state.step`` into the seed."""
+        the remaining epochs (a resume that restarts at 0 double-trains);
+        ``skip_steps`` skips the first N optimizer steps of ``start_epoch``
+        (they are already inside a mid-epoch preemption/autosave state —
+        ``restore_latest`` returns both).  With the loader's epoch order
+        pinned by ``set_epoch`` and the per-step rng stream folded on the
+        restored global ``state.step``, a preempted-and-resumed run
+        reproduces the uninterrupted one exactly."""
         A = self.config.accum_steps
         if A > 1 and A > len(train_loader):
             raise ValueError(
@@ -412,10 +416,10 @@ class Trainer:
         with watch:
             return self._fit_epochs(train_loader, val_loader, state, rng, t0,
                                     want_trace, steps_per_epoch, start_epoch,
-                                    checkpointer, log_fn, watch)
+                                    skip_steps, checkpointer, log_fn, watch)
 
     def _fit_epochs(self, train_loader, val_loader, state, rng, t0,
-                    want_trace, steps_per_epoch, start_epoch,
+                    want_trace, steps_per_epoch, start_epoch, skip_steps,
                     checkpointer, log_fn, watch):
         can_save_last = checkpointer is not None and hasattr(
             checkpointer, "save_preempted")
@@ -423,8 +427,21 @@ class Trainer:
         next_autosave = time.time() + autosave_s
         best_monitor, stale_epochs = np.inf, 0
         for epoch in range(start_epoch, self.config.epochs):
+            if hasattr(train_loader, "set_epoch"):
+                # Pin the shuffle to (seed, epoch) so a resumed process
+                # replays the SAME epoch orders the uninterrupted run would
+                # have used (torch DistributedSampler.set_epoch analogue).
+                train_loader.set_epoch(epoch)
+            skip = skip_steps if epoch == start_epoch else 0
             losses = []
-            for batch in self._train_inputs(train_loader):
+            for i, batch in enumerate(self._train_inputs(train_loader)):
+                if i < skip:
+                    # Already inside the restored state (mid-epoch resume);
+                    # the loader still advances so step i trains on the same
+                    # batch it did in the interrupted run.
+                    continue
+                if watch.requested:
+                    break  # handled at the loop exit below
                 if want_trace and epoch == start_epoch and (
                         len(losses) == 1 or steps_per_epoch == 1):
                     # Second step of the run: compiled, steady-state (first
@@ -438,25 +455,40 @@ class Trainer:
                 else:
                     state, m = self._dispatch_step(state, batch, rng)
                 losses.append(m["loss"])
+                done = skip + len(losses)
                 if autosave_s and can_save_last and not watch.requested \
                         and time.time() >= next_autosave:
-                    checkpointer.save_preempted(epoch, state)
+                    checkpointer.save_preempted(epoch, state,
+                                                steps_into_epoch=done)
                     next_autosave = time.time() + autosave_s
                 if watch.requested:
-                    # Graceful shutdown (SIGTERM / preemption notice): save
-                    # the mid-epoch state into the ``last`` slot and stop at
-                    # this step boundary; --resume_from re-runs this epoch.
-                    if can_save_last:
-                        checkpointer.save_preempted(epoch, state)
-                    metrics = {"epoch": epoch, "preempted": True,
-                               "steps_into_epoch": len(losses),
-                               "wall_s": time.time() - t0}
-                    self.history.append(metrics)
-                    if log_fn:
-                        log_fn(metrics)
-                    return state
-            train_loss = float(jnp.mean(jnp.stack(losses)))
-            if self.config.halt_on_nonfinite and not np.isfinite(train_loss):
+                    break
+            if watch.requested:
+                # Graceful shutdown (SIGTERM / preemption notice): save the
+                # mid-epoch state into the ``last`` slot and stop at this
+                # step boundary — never running validation inside the grace
+                # window.  --resume_from continues at the NEXT step of this
+                # epoch (fit_skip; == steps_per_epoch when the notice landed
+                # on the final step, in which case the resume skips straight
+                # to the epoch-end validation/checkpoint).
+                done = skip + len(losses)
+                if can_save_last:
+                    checkpointer.save_preempted(epoch, state,
+                                                steps_into_epoch=done)
+                metrics = {"epoch": epoch, "preempted": True,
+                           "steps_into_epoch": done,
+                           "wall_s": time.time() - t0}
+                self.history.append(metrics)
+                if log_fn:
+                    log_fn(metrics)
+                return state
+            # A resume that skipped the whole epoch (preempted at its final
+            # step boundary) has no fresh losses; the epoch-end validation
+            # and checkpoint still run.
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses \
+                else float("nan")
+            if losses and self.config.halt_on_nonfinite \
+                    and not np.isfinite(train_loss):
                 metrics = {"epoch": epoch, "train_loss": train_loss,
                            "halted": "non-finite train loss",
                            "wall_s": time.time() - t0}
