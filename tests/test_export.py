@@ -212,12 +212,65 @@ def test_micro_batcher_coalesces_concurrent_requests():
     assert take == [] and rows == 0
     mb.close()
 
-    # Row-count mismatch across keys is rejected up front.
-    mb2 = MicroBatcher(fn, ["mask", "x"], {"mask": (8,), "x": (8, 2)})
+    # Row-count and dtype mismatches are rejected up front, per request —
+    # a float64 mask (numpy's default) must never reach a shared pack,
+    # where concatenation would promote every coalesced client's batch.
+    mb2 = MicroBatcher(fn, ["mask", "x"], {"mask": (8,), "x": (8, 2)},
+                       {"mask": "float32", "x": "float32"})
     with pytest.raises(ValueError, match="share the sample axis"):
         mb2.submit({"mask": np.ones(3, np.float32),
                     "x": np.zeros((2, 2), np.float32)})
+    with pytest.raises(ValueError, match="dtype float64"):
+        mb2.submit({"mask": np.ones(2), "x": np.zeros((2, 2), np.float32)})
     mb2.close()
+
+    # One bad request in a pack must not fail its packmates: the worker
+    # falls back to per-request dispatches and only the offender errors.
+    release3 = threading.Event()
+    calls3 = []
+
+    def fn3(batch):
+        calls3.append(True)
+        if len(calls3) == 1:
+            release3.wait(30)
+        x = np.asarray(batch["x"])
+        if (x == 666.0).any():
+            raise RuntimeError("poisoned batch")
+        return x * 2.0
+
+    mb3 = MicroBatcher(fn3, ["mask", "x"], {"mask": (8,), "x": (8, 2)})
+    outs, errs = {}, {}
+
+    def client3(i, val):
+        arr = {"mask": np.ones(2, np.float32),
+               "x": np.full((2, 2), val, np.float32)}
+        try:
+            outs[i] = mb3.submit(arr)
+        except Exception as e:
+            errs[i] = e
+
+    t0 = threading.Thread(target=client3, args=(0, 1.0))
+    t0.start()
+    for _ in range(3000):
+        if calls3:
+            break
+        _time.sleep(0.01)
+    ts = [threading.Thread(target=client3, args=(i, v))
+          for i, v in [(1, 2.0), (2, 666.0), (3, 3.0)]]
+    for t in ts:
+        t.start()
+    for _ in range(3000):
+        if len(mb3._queue) == 3:
+            break
+        _time.sleep(0.01)
+    release3.set()
+    for t in [t0] + ts:
+        t.join(30)
+    assert set(outs) == {0, 1, 3} and set(errs) == {2}
+    assert "poisoned" in str(errs[2])
+    np.testing.assert_allclose(outs[1], np.full((2, 2), 4.0))
+    np.testing.assert_allclose(outs[3], np.full((2, 2), 6.0))
+    mb3.close()
 
 
 def test_export_rejects_wrong_file(tmp_path):

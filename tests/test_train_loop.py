@@ -156,14 +156,18 @@ class _RecordingCheckpointer:
     """Captures the trainer's checkpoint calls (epoch saves vs the last-slot
     emergency/autosave path) without touching orbax."""
 
-    def __init__(self):
+    def __init__(self, best=None):
         self.autosaves, self.epoch_saves = [], []
+        self.best = best  # (best_epoch, monitor) for resume reconstruction
 
     def save(self, epoch, state, metrics):
         self.epoch_saves.append(epoch)
 
     def save_preempted(self, epoch, state, steps_into_epoch=0):
         self.autosaves.append((epoch, int(state.step)))
+
+    def best_metric(self):
+        return self.best
 
 
 class _PreemptingLoader:
@@ -210,9 +214,9 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     s1 = t1.fit(train_loader, val_loader, checkpointer=ckpt)
     steps_per_epoch = len(train_loader)
     assert int(s1.step) == 2 * steps_per_epoch
-    # The last slot is keyed by the GLOBAL step (mid-epoch saves must not
-    # collide), so latest_step reports the final step, not the epoch.
-    assert ckpt.latest_step() == 2 * steps_per_epoch
+    # The last slot is keyed by a save counter (mid-epoch saves must not
+    # collide with epoch saves): 2 epoch-complete saves -> keys 0, 1.
+    assert ckpt.latest_step() == 1
     ckpt.close()
 
     t2 = Trainer(model, TrainConfig(epochs=4, batch_size=16, learning_rate=1e-2))
@@ -292,6 +296,22 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     assert t2.history[-1]["early_stopped"] == 2
     assert int(s6.step) == step5 + 4 * steps_per_epoch
 
+    # Resumed early stopping rebuilds (best, stale) from the checkpointer
+    # instead of resetting: best at epoch 7, resuming at epoch 11 -> 3
+    # stale epochs already >= patience, so ONE more stale eval stops it
+    # (a reset would have granted a fresh patience budget).
+    vals = iter([4.0, 99.0])
+    t2.evaluate = lambda state, loader: {"val_mae": 0.0,
+                                         "val_wWAPE": next(vals)}
+    t2.config.early_stop_patience = 3
+    t2.history.clear()
+    s7 = t2.fit(train_loader, val_loader, state=s6, start_epoch=11,
+                checkpointer=_RecordingCheckpointer(best=(7, 4.0)))
+    del t2.evaluate
+    t2.config.early_stop_patience = 0
+    assert [h["epoch"] for h in t2.history] == [11]
+    assert t2.history[-1]["early_stopped"] == 4
+
 
 def test_save_last_survives_topk_gc(tmp_path):
     """The top-k best retention deletes the newest epochs once the monitor
@@ -341,7 +361,24 @@ def test_save_last_survives_topk_gc(tmp_path):
     ck2 = CheckpointManager(str(tmp_path / "old"))
     restored, start, skip = ck2.restore_latest(st(0))
     assert float(restored.params["w"][0]) == 9.0 and start == 1 and skip == 0
+    # best_metric feeds the resumed early-stopping bookkeeping.
+    assert ck2.best_metric() == (0, 1.0)
     ck2.close()
+
+    # A last slot written BEFORE fit_skip existed (old payload layout) must
+    # still restore — orbax rejects template keys the on-disk tree lacks,
+    # so restore_latest retries without it and reports skip 0.
+    import orbax.checkpoint as ocp
+
+    from visuelle2_tpu.train.checkpoint import _payload
+
+    ck3 = CheckpointManager(str(tmp_path / "legacy"))
+    legacy = dict(_payload(st(33)), fit_epoch=np.asarray(6, np.int32))
+    ck3._last.save(0, args=ocp.args.StandardSave(legacy))
+    ck3._last.wait_until_finished()
+    restored, start, skip = ck3.restore_latest(st(0))
+    assert float(restored.params["w"][0]) == 33.0 and start == 6 and skip == 0
+    ck3.close()
 
 
 def test_resume_from_auto(tmp_path):

@@ -203,7 +203,14 @@ class BatchLoader:
         return self._split_blocks(order)
 
     def __iter__(self) -> Iterator[Batch]:
-        blocks = self._epoch_index_blocks()
+        return self.iter_from(0)
+
+    def iter_from(self, skip_blocks: int) -> Iterator[Batch]:
+        """Iterate the epoch starting at batch ``skip_blocks`` — the
+        skipped batches are never assembled (no image gather, no padding),
+        which makes mid-epoch resume (train/loop.py ``skip_steps``)
+        near-instant instead of replaying the epoch's data assembly."""
+        blocks = self._epoch_index_blocks()[skip_blocks:]
         if not blocks:
             return
         # Deduped batches gather only the unique images — too small to be

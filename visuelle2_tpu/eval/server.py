@@ -50,6 +50,25 @@ class _Pending:
         self.error = None
 
 
+def _slice_samples(out, batch_rows, start, n):
+    """Rows ``start:start+n`` of a model output, per SAMPLE.
+
+    Window-flattened stfore models return [B*W, ...] rather than a
+    sample-leading axis (models/cross_attn_rnn.py:270): reshape to a
+    leading-B view first, slice samples, and flatten back.  The single
+    source of truth for this convention — used by both the coalescing
+    worker and the per-request dedup path."""
+    if batch_rows and out.shape[0] != batch_rows:
+        if out.shape[0] % batch_rows:
+            raise ValueError(
+                f"forecast rows {out.shape[0]} not a multiple of the "
+                f"export batch {batch_rows}; cannot slice to {n} samples")
+        w = out.shape[0] // batch_rows
+        lead = out.reshape((batch_rows, w) + out.shape[1:])[start:start + n]
+        return lead.reshape((n * w,) + out.shape[1:])
+    return out[start:start + n]
+
+
 class MicroBatcher:
     """Packs concurrent forecast requests into shared full-batch dispatches.
 
@@ -58,10 +77,11 @@ class MicroBatcher:
     thread until its slice of a dispatch is ready.
     """
 
-    def __init__(self, forecast_fn, keys, shapes):
+    def __init__(self, forecast_fn, keys, shapes, dtypes=None):
         self._fn = forecast_fn
         self._keys = keys
         self._shapes = shapes
+        self._dtypes = {k: np.dtype(v) for k, v in (dtypes or {}).items()}
         self._capacity = shapes["mask"][0] if "mask" in shapes else \
             next(iter(shapes.values()))[0]
         self._cv = threading.Condition()
@@ -106,6 +126,14 @@ class MicroBatcher:
             if a.shape[0] > want[0]:
                 raise ValueError(f"'{k}' has {a.shape[0]} rows > "
                                  f"export batch {want[0]}")
+            # Dtype-checked HERE, per request: a float64 mask (numpy's
+            # default) concatenated into a shared pack would promote the
+            # whole combined array and fail the exported call for every
+            # coalesced client, not just the offender.
+            want_dt = self._dtypes.get(k)
+            if want_dt is not None and a.dtype != want_dt:
+                raise ValueError(f"'{k}' dtype {a.dtype} != export "
+                                 f"{want_dt}")
             if rows is None:
                 rows = a.shape[0]
             elif a.shape[0] != rows:
@@ -125,6 +153,25 @@ class MicroBatcher:
             rows += req.rows
         return take, rows
 
+    def _dispatch(self, take):
+        """One padded device call serving every request in ``take``."""
+        combined = {}
+        for k in self._keys:
+            parts = [np.asarray(r.arrays[k]) for r in take]
+            a = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            want_rows = self._shapes[k][0]
+            if a.shape[0] < want_rows:
+                pad = [(0, want_rows - a.shape[0])] + \
+                      [(0, 0)] * (a.ndim - 1)
+                a = np.pad(a, pad)
+            combined[k] = a
+        out = np.asarray(self._fn(combined))
+        self.dispatches += 1
+        off = 0
+        for r in take:
+            r.result = _slice_samples(out, self._capacity, off, r.rows)
+            off += r.rows
+
     def _loop(self):
         while True:
             with self._cv:
@@ -134,41 +181,15 @@ class MicroBatcher:
                     return
                 take, rows = self._take()
             try:
-                combined = {}
-                for k in self._keys:
-                    parts = [np.asarray(r.arrays[k]) for r in take]
-                    a = parts[0] if len(parts) == 1 else np.concatenate(parts)
-                    want_rows = self._shapes[k][0]
-                    if a.shape[0] < want_rows:
-                        pad = [(0, want_rows - a.shape[0])] + \
-                              [(0, 0)] * (a.ndim - 1)
-                        a = np.pad(a, pad)
-                    combined[k] = a
-                out = np.asarray(self._fn(combined))
-                self.dispatches += 1
-                # Window-flattened outputs ([B*W, ...], CrossAttnRNN210-style
-                # stfore, models/cross_attn_rnn.py:270) slice per SAMPLE.
-                B = self._capacity
-                if out.shape[0] != B:
-                    if out.shape[0] % B:
-                        raise ValueError(
-                            f"forecast rows {out.shape[0]} not a multiple "
-                            f"of the export batch {B}")
-                    w = out.shape[0] // B
-                    per_sample = out.reshape((B, w) + out.shape[1:])
-                else:
-                    w, per_sample = 0, out
-                off = 0
+                self._dispatch(take)
+            except Exception:
+                # One bad request must not 400 its packmates: fall back to
+                # per-request dispatches so only the offender fails.
                 for r in take:
-                    if w:
-                        lead = per_sample[off:off + r.rows]
-                        r.result = lead.reshape((r.rows * w,) + out.shape[1:])
-                    else:
-                        r.result = per_sample[off:off + r.rows]
-                    off += r.rows
-            except Exception as e:  # propagate to every waiter in this pack
-                for r in take:
-                    r.error = e
+                    try:
+                        self._dispatch([r])
+                    except Exception as e:
+                        r.error = e
             for r in take:
                 r.event.set()
 
@@ -188,22 +209,16 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
     batch_rows = shapes.get("mask", (0,))[0]
     dedup = "img_idx" in keys
     stats = {"requests": 0}
-    batcher = None if dedup else MicroBatcher(forecast_fn, keys, shapes)
+    stats_lock = threading.Lock()
+    batcher = None if dedup else MicroBatcher(forecast_fn, keys, shapes,
+                                              header.get("dtypes"))
     lock = threading.Lock()
 
     def slice_rows(out, n):
         """Slice a model output back to the client's ``n`` real samples."""
         if n is None or n == out.shape[0]:
             return out
-        if batch_rows and out.shape[0] != batch_rows:
-            if out.shape[0] % batch_rows:
-                raise ValueError(
-                    f"forecast rows {out.shape[0]} not a multiple of the "
-                    f"export batch {batch_rows}; cannot slice to {n} samples")
-            w = out.shape[0] // batch_rows  # windows per sample
-            lead = out.reshape((batch_rows, w) + out.shape[1:])[:n]
-            return lead.reshape((n * w,) + out.shape[1:])
-        return out[:n]
+        return _slice_samples(out, batch_rows, 0, n)
 
     def run_dedup(arrays):
         """One dispatch per request: img_idx rows index the request's own
@@ -232,7 +247,8 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
         return slice_rows(out, n)
 
     def run_batch(arrays):
-        stats["requests"] += 1
+        with stats_lock:  # handler threads are concurrent
+            stats["requests"] += 1
         if batcher is not None:
             return batcher.submit(arrays)
         return run_dedup(arrays)

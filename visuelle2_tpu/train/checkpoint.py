@@ -71,18 +71,16 @@ class CheckpointManager:
     def _save_last(self, state, fit_epoch: int, fit_skip: int = 0):
         payload = dict(_payload(state), fit_epoch=np.asarray(fit_epoch, np.int32),
                        fit_skip=np.asarray(fit_skip, np.int32))
-        # Keyed by the GLOBAL train step, not the epoch: orbax silently
-        # SKIPS a save whose step already exists (save() returns False), so
-        # epoch-keyed saves would turn every autosave/preemption save after
-        # the first within an epoch into a stale no-op.  The global step
-        # strictly increases across mid-epoch saves and process restarts —
-        # except when an autosave fires at the final step of an epoch and the
-        # epoch-complete save (same step, fit_epoch=epoch+1) follows: delete
-        # the colliding key so the newer payload wins instead of being
-        # silently skipped (which would rewind the resume a full epoch).
-        key = int(state.step)
-        if self._last.latest_step() == key:
-            self._last.delete(key)
+        # Keyed by a monotonic SAVE COUNTER, not the epoch or train step:
+        # orbax silently skips (or, forced, refuses) a save whose key
+        # already exists, and both epoch keys (every mid-epoch autosave
+        # after the first) and step keys (an autosave at an epoch's final
+        # step vs the epoch-complete save) collide.  A fresh key per save
+        # also keeps the slot crash-safe: the previous checkpoint is
+        # garbage-collected only AFTER the new one commits, so a hard kill
+        # mid-save never leaves the slot empty (delete-then-rewrite would).
+        prev = self._last.latest_step()
+        key = 0 if prev is None else prev + 1
         self._last.save(key, args=ocp.args.StandardSave(payload))
         self._last.wait_until_finished()
 
@@ -115,13 +113,27 @@ class CheckpointManager:
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
+    def best_metric(self) -> Optional[Tuple[int, float]]:
+        """(best_epoch, monitor value at it), or None when nothing saved.
+
+        Lets a resumed ``fit`` rebuild its early-stopping bookkeeping (the
+        best-so-far monitor and how many epochs ago it happened) instead of
+        resetting it — the best epoch always survives the top-k GC."""
+        step = self._mgr.best_step()
+        if step is None:
+            return None
+        metrics = self._mgr.metrics(step)
+        if metrics is None or self.monitor not in metrics:
+            return None
+        return step, float(metrics[self.monitor])
+
     def latest_step(self) -> Optional[int]:
-        """Key of the most recent resumable save: the last slot's GLOBAL
-        train step when present (authoritative — the top-k retention may
-        have garbage-collected every epoch after the best one), else the
-        newest surviving top-k EPOCH.  Use ``restore_latest`` for resume —
-        it reads the recorded ``fit_epoch`` instead of interpreting this
-        key."""
+        """Key of the most recent resumable save: the last slot's save
+        counter when present (authoritative — the top-k retention may have
+        garbage-collected every epoch after the best one), else the newest
+        surviving top-k EPOCH.  Use ``restore_latest`` for resume — it
+        reads the recorded ``fit_epoch``/``fit_skip`` instead of
+        interpreting this key."""
         if self._last is not None:
             step = self._last.latest_step()
             if step is not None:
@@ -167,8 +179,18 @@ class CheckpointManager:
                 template = dict(_payload(state),
                                 fit_epoch=np.asarray(0, np.int32),
                                 fit_skip=np.asarray(0, np.int32))
-                restored = self._last.restore(
-                    step, args=ocp.args.StandardRestore(template))
+                try:
+                    restored = self._last.restore(
+                        step, args=ocp.args.StandardRestore(template))
+                except ValueError:
+                    # Last slot written before ``fit_skip`` existed: orbax
+                    # rejects a template key the on-disk tree lacks.  Retry
+                    # without it; those saves were epoch-complete or
+                    # re-run-the-epoch preemption saves, i.e. skip 0.
+                    template.pop("fit_skip")
+                    restored = self._last.restore(
+                        step, args=ocp.args.StandardRestore(template))
+                    restored["fit_skip"] = 0
                 return (self._apply(state, restored),
                         int(restored["fit_epoch"]),
                         int(restored["fit_skip"]))

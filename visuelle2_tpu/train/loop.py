@@ -353,14 +353,27 @@ class Trainer:
         stacked = global_batch(stacked, self._stacked_sharding)
         return self._accum_step(state, stacked, rng)
 
-    def _train_inputs(self, loader):
-        """Loader batches, grouped+stacked when accumulating gradients."""
-        A = self.config.accum_steps
+    def _train_inputs(self, loader, skip_groups: int = 0):
+        """Loader batches, grouped+stacked when accumulating gradients.
+
+        ``skip_groups`` drops the first N optimizer-step groups (mid-epoch
+        resume): when the loader supports index-level skipping
+        (``BatchLoader.iter_from``) the skipped batches are never assembled
+        — no image gather, no host copies — otherwise they are assembled
+        and discarded (foreign loaders), which is correct but slow."""
+        A = max(1, self.config.accum_steps)
+        skip_batches = skip_groups * A
+        if skip_batches and hasattr(loader, "iter_from"):
+            it = loader.iter_from(skip_batches)
+        else:
+            it = iter(loader)
+            for _ in range(skip_batches):
+                next(it, None)
         if A <= 1:
-            yield from loader
+            yield from it
             return
         group = []
-        for b in loader:
+        for b in it:
             group.append(b)
             if len(group) == A:
                 yield {k: np.stack([g[k] for g in group]) for k in group[0]}
@@ -426,6 +439,17 @@ class Trainer:
         autosave_s = self.config.autosave_minutes * 60.0
         next_autosave = time.time() + autosave_s
         best_monitor, stale_epochs = np.inf, 0
+        if self.config.early_stop_patience and start_epoch > 0 and \
+                hasattr(checkpointer, "best_metric"):
+            # Resume: rebuild the early-stopping bookkeeping from the saved
+            # best epoch so the resumed run stops where the uninterrupted
+            # one would have (exact for min_delta=0 — the CLI surface; with
+            # min_delta>0 a sub-threshold improvement before the best epoch
+            # is counted as the best, a conservative approximation).
+            bm = checkpointer.best_metric()
+            if bm is not None:
+                best_epoch, best_monitor = bm
+                stale_epochs = max(0, start_epoch - 1 - best_epoch)
         for epoch in range(start_epoch, self.config.epochs):
             if hasattr(train_loader, "set_epoch"):
                 # Pin the shuffle to (seed, epoch) so a resumed process
@@ -434,12 +458,7 @@ class Trainer:
                 train_loader.set_epoch(epoch)
             skip = skip_steps if epoch == start_epoch else 0
             losses = []
-            for i, batch in enumerate(self._train_inputs(train_loader)):
-                if i < skip:
-                    # Already inside the restored state (mid-epoch resume);
-                    # the loader still advances so step i trains on the same
-                    # batch it did in the interrupted run.
-                    continue
+            for batch in self._train_inputs(train_loader, skip_groups=skip):
                 if watch.requested:
                     break  # handled at the loop exit below
                 if want_trace and epoch == start_epoch and (
@@ -483,22 +502,24 @@ class Trainer:
                     log_fn(metrics)
                 return state
             # A resume that skipped the whole epoch (preempted at its final
-            # step boundary) has no fresh losses; the epoch-end validation
-            # and checkpoint still run.
-            train_loss = float(jnp.mean(jnp.stack(losses))) if losses \
-                else float("nan")
-            if losses and self.config.halt_on_nonfinite \
-                    and not np.isfinite(train_loss):
-                metrics = {"epoch": epoch, "train_loss": train_loss,
-                           "halted": "non-finite train loss",
-                           "wall_s": time.time() - t0}
-                self.history.append(metrics)
-                if log_fn:
-                    log_fn(metrics)
-                return state
+            # step boundary) has no fresh losses: the epoch-end validation
+            # and checkpoint still run, just with no train_loss entry (a
+            # NaN would poison strict-JSON readers of metrics.jsonl).
+            if losses:
+                train_loss = float(jnp.mean(jnp.stack(losses)))
+                if self.config.halt_on_nonfinite \
+                        and not np.isfinite(train_loss):
+                    metrics = {"epoch": epoch, "train_loss": train_loss,
+                               "halted": "non-finite train loss",
+                               "wall_s": time.time() - t0}
+                    self.history.append(metrics)
+                    if log_fn:
+                        log_fn(metrics)
+                    return state
             metrics = self.evaluate(state, val_loader)
-            metrics.update(epoch=epoch, train_loss=train_loss,
-                           wall_s=time.time() - t0)
+            metrics.update(epoch=epoch, wall_s=time.time() - t0)
+            if losses:
+                metrics["train_loss"] = train_loss
             patience = self.config.early_stop_patience
             if patience:
                 if metrics["val_wWAPE"] < best_monitor - \
