@@ -27,16 +27,43 @@ def _loaders(dataset, demand, output_len, batch_size=16):
             BatchLoader(te, store_te, batch_size))
 
 
-def test_gated_v4_demand_loss_decreases(synthetic_dataset):
+def test_gated_v4_demand_loss_decreases(synthetic_dataset, tmp_path):
+    """Convergence + checkpoint round-trip + device trace on ONE compiled
+    gated_v4 trainer (three formerly-separate tests shared nothing but its
+    ~2 min of XLA compiles; suite-time convention, CLAUDE.md)."""
+    import os
+
+    from visuelle2_tpu.train.checkpoint import CheckpointManager
+
     train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
     model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
     trainer = Trainer(model, TrainConfig(epochs=4, batch_size=16, grad_clip=0.5,
                                          learning_rate=1e-2))
-    state = trainer.fit(train_loader, val_loader)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), save_top_k=2)
+    state = trainer.fit(train_loader, val_loader, checkpointer=ckpt)
     losses = [h["train_loss"] for h in trainer.history]
     assert losses[-1] < losses[0], losses
     assert np.isfinite(trainer.history[-1]["val_wWAPE"])
     assert np.isfinite(trainer.history[-1]["val_mae"])
+
+    # --- Checkpoint round-trip: restored best params == in-memory best.
+    assert ckpt.best_step() is not None
+    fresh = trainer.init_state(next(iter(train_loader)))
+    restored = ckpt.restore(fresh)
+    m = trainer.evaluate(restored, val_loader)
+    best = min(trainer.history, key=lambda h: h["val_wWAPE"])
+    assert m["val_wWAPE"] == pytest.approx(best["val_wWAPE"], rel=1e-5)
+    ckpt.close()
+
+    # --- Device trace of one steady-state step (the --trace_dir surface;
+    # same compiled steps, so the traced step is pure execution).
+    trace_dir = str(tmp_path / "trace")
+    trainer.config.trace_dir = trace_dir
+    trainer.config.epochs = 5
+    trainer.fit(train_loader, val_loader, state=restored, start_epoch=4)
+    trainer.config.trace_dir = None
+    found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs]
+    assert any(f.endswith((".trace.json.gz", ".xplane.pb")) for f in found), found
 
     # NaN-halt coverage on the SAME compiled trainer (merged from its own
     # test, which paid a fresh model+trainer compile for one poisoned fit):
@@ -419,41 +446,6 @@ def test_resume_from_auto(tmp_path):
                             ckpt_dir=args.ckpt_dir, pretrained_backbone="")
     with pytest.raises(SystemExit):
         prepare_initial_state(trainer, loaders, args2)
-
-
-def test_checkpoint_save_restore(synthetic_dataset, tmp_path):
-    from visuelle2_tpu.train.checkpoint import CheckpointManager
-
-    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
-    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
-    trainer = Trainer(model, TrainConfig(epochs=2, batch_size=16, grad_clip=0.5))
-    ckpt = CheckpointManager(str(tmp_path / "ckpt"), save_top_k=2)
-    state = trainer.fit(train_loader, val_loader, checkpointer=ckpt)
-    assert ckpt.best_step() is not None
-
-    fresh = trainer.init_state(next(iter(train_loader)))
-    restored = ckpt.restore(fresh)
-    # Restored params give identical eval metrics to the in-memory best epoch.
-    m = trainer.evaluate(restored, val_loader)
-    best = min(trainer.history, key=lambda h: h["val_wWAPE"])
-    assert m["val_wWAPE"] == pytest.approx(best["val_wWAPE"], rel=1e-5)
-    ckpt.close()
-
-
-def test_trace_dir_captures_device_trace(synthetic_dataset, tmp_path):
-    """TrainConfig.trace_dir writes a jax.profiler trace of one steady-state
-    step (the --trace_dir CLI surface; utils/tracing.py)."""
-    import os
-
-    train_loader, val_loader = _loaders(synthetic_dataset, True, 12)
-    model = build("gated_v4", vocab=VOCAB, output_len=12, **SMALL_GTM)
-    trace_dir = str(tmp_path / "trace")
-    trainer = Trainer(model, TrainConfig(epochs=1, batch_size=16,
-                                         learning_rate=1e-2,
-                                         trace_dir=trace_dir))
-    trainer.fit(train_loader, val_loader)
-    found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs]
-    assert any(f.endswith((".trace.json.gz", ".xplane.pb")) for f in found), found
 
 
 def test_accum_step_matches_manual_microbatch_oracle(synthetic_dataset):
