@@ -57,6 +57,7 @@ def run(args):
         accum_steps=getattr(args, "accum_steps", 1),
         autosave_minutes=getattr(args, "autosave_minutes", 0.0),
         early_stop_patience=getattr(args, "early_stop_patience", 0),
+        early_stop_min_delta=getattr(args, "early_stop_min_delta", 0.0),
         learning_rate=getattr(args, "learning_rate", None) or None))
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=2)  # train_dl.py:156
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
@@ -113,6 +114,9 @@ def build_parser():
     p.add_argument("--early_stop_patience", type=int, default=0,
                    help="stop after N epochs without val_wWAPE improving "
                         "(Lightning EarlyStopping analogue; 0 = off)")
+    p.add_argument("--early_stop_min_delta", type=float, default=0.0,
+                   help="minimum val_wWAPE improvement that resets the "
+                        "early-stop patience counter")
     p.add_argument("--learning_rate", type=float, default=0.0,
                    help="fixed Adafactor learning rate; 0 = the reference's "
                         "relative-step fairseq schedule (lr~1e-6*step "
