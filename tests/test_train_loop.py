@@ -339,6 +339,22 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     assert [h["epoch"] for h in t2.history] == [11]
     assert t2.history[-1]["early_stopped"] == 4
 
+    # --- min_delta (same compiled steps): sub-threshold improvements count
+    # as stale and do NOT move the best (Keras/Lightning semantics), so
+    # 5.0 -> 4.9 -> 4.8 with min_delta=0.5 stops after patience=2.
+    vals = iter([5.0, 4.9, 4.8, 99.0])
+    t2.evaluate = lambda state, loader: {"val_mae": 0.0,
+                                         "val_wWAPE": next(vals)}
+    t2.config.early_stop_patience = 2
+    t2.config.early_stop_min_delta = 0.5
+    t2.history.clear()
+    t2.fit(train_loader, val_loader, state=s7, start_epoch=12)
+    del t2.evaluate
+    t2.config.early_stop_patience = 0
+    t2.config.early_stop_min_delta = 0.0
+    assert [h["epoch"] for h in t2.history] == [12, 13, 14]
+    assert t2.history[-1]["early_stopped"] == 2
+
 
 def test_save_last_survives_topk_gc(tmp_path):
     """The top-k best retention deletes the newest epochs once the monitor
