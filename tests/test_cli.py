@@ -130,6 +130,7 @@ def test_train_then_forecast_transformer_cli(synthetic_dataset, tmp_path):
     assert got.shape == (16, 12) and np.all(np.isfinite(got))
 
 
+@pytest.mark.slow
 def test_train_then_forecast_gtm_v1_cli(synthetic_dataset, tmp_path):
     """gtm_v1 (original VISUELLE-1 GTM) end to end: ingest-time text
     featurization attaches as a batch extra, trains, and forecasts from the

@@ -23,6 +23,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEMO = os.path.join(REPO, "scripts", "demo_multihost.py")
@@ -55,6 +56,7 @@ def _last_json(stdout: str) -> dict:
     return json.loads(lines[-1])
 
 
+@pytest.mark.slow
 def test_two_process_hybrid_mesh_matches_single_process():
     env = dict(os.environ)
     # Children provision their own 4-device CPU platform; scrub this test

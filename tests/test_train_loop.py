@@ -27,6 +27,7 @@ def _loaders(dataset, demand, output_len, batch_size=16):
             BatchLoader(te, store_te, batch_size))
 
 
+@pytest.mark.slow
 def test_gated_v4_demand_loss_decreases(synthetic_dataset, tmp_path):
     """Convergence + checkpoint round-trip + device trace on ONE compiled
     gated_v4 trainer (three formerly-separate tests shared nothing but its
@@ -122,6 +123,7 @@ def _model_sharded_leaves(params):
     ]
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_replicated(synthetic_dataset, tmp_path):
     """data=4 x model=2 mesh vs pure data-parallel, one compiled trainer
     pair (merged from three tests; every assertion retained):
@@ -223,6 +225,7 @@ class _PreemptingLoader:
             yield b
 
 
+@pytest.mark.slow
 def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     """A resumed run must continue at the saved epoch, not restart at 0 and
     double-train: 2 epochs + resume-for-2-more == 4 total epochs of steps,
@@ -464,6 +467,7 @@ def test_resume_from_auto(tmp_path):
         prepare_initial_state(trainer, loaders, args2)
 
 
+@pytest.mark.slow
 def test_accum_step_matches_manual_microbatch_oracle(synthetic_dataset):
     """accum_train_step == grads averaged over microbatches at the SAME
     params with BN stats threaded sequentially, applied in one update
