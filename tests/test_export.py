@@ -330,3 +330,63 @@ def test_http_server_serves_artifact(tmp_path):
             client.forecast({"ts": batch["ts"]})
     finally:
         srv.shutdown()
+
+
+# Every neural reference model, not just the flagship: the serving story is
+# only "complete" if each registry model exports to a StableHLO artifact and
+# the reloaded artifact reproduces the live model on a batch it was never
+# traced with.  (The oracle is excluded: it is a statistical model with no
+# weights, served by forecast_stat directly.)
+_EXPORT_CASES = {
+    # name -> (build kwargs, synth_batch kwargs)
+    "cross_attn_rnn_21": (dict(out_len=1, attention_dim=16,
+                               embedding_dim=16, hidden_dim=16,
+                               image_arch="tiny"),
+                          dict(demand=False, output_len=1)),
+    "cross_attn_rnn_210": (dict(out_len=10, attention_dim=16,
+                                embedding_dim=16, hidden_dim=16,
+                                image_arch="tiny",
+                                use_teacher_forcing=False),
+                           dict(demand=False, output_len=10)),
+    "cross_attn_rnn_demand": (dict(out_len=12, attention_dim=16,
+                                   embedding_dim=16, hidden_dim=16,
+                                   image_arch="tiny",
+                                   use_teacher_forcing=False),
+                              dict(demand=True, output_len=12)),
+    **{name: (dict(output_len=12, embedding_dim=16, hidden_dim=16,
+                   image_arch="tiny"),
+              dict(demand=True, output_len=12))
+       for name in ("gtm", "m4ft", "gated_v1", "gated_v2", "gated_v3",
+                    "gated_v4")},
+    "gtm_v1": (dict(output_len=12, embedding_dim=16, hidden_dim=16,
+                    image_arch="tiny"),
+               dict(demand=True, output_len=12, text_features=True)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EXPORT_CASES))
+def test_every_model_exports_and_reloads(tmp_path, name):
+    import jax
+
+    from visuelle2_tpu.cli.export import synth_batch
+    from visuelle2_tpu.eval.export import export_forecaster, load_forecaster
+    from visuelle2_tpu.models import VocabSizes, build
+
+    vocab = VocabSizes(5, 6, 5, 126)
+    build_kw, batch_kw = _EXPORT_CASES[name]
+    kw = dict(build_kw)
+    if name != "gtm_v1":  # gtm_v1 takes no vocab (text arrives featurized)
+        kw["vocab"] = vocab
+    model = build(name, **kw)
+    batch = synth_batch(8, 32, vocab, **batch_kw)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, batch, train=False)
+
+    path = str(tmp_path / f"{name}.v2tpu")
+    assert export_forecaster(model, variables, batch, path) > 0
+    forecast_fn, header = load_forecaster(path)
+
+    fresh = synth_batch(8, 32, vocab, seed=7, **batch_kw)
+    got = np.asarray(forecast_fn(fresh))
+    want, _aux = model.apply(variables, fresh, train=False)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
