@@ -390,3 +390,60 @@ def test_every_model_exports_and_reloads(tmp_path, name):
     got = np.asarray(forecast_fn(fresh))
     want, _aux = model.apply(variables, fresh, train=False)
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_http_server_serves_dedup_artifact(tmp_path):
+    """Dedup artifacts (request-local ``img_idx`` slot indirection) take the
+    serialized one-dispatch-per-request HTTP path: full and short batches
+    must match the direct artifact call, with padded rows sliced away and
+    ``/health`` reporting the un-coalesced mode."""
+    import threading
+
+    import jax
+
+    from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.eval.client import ForecastClient
+    from visuelle2_tpu.eval.export import export_forecaster, load_forecaster
+    from visuelle2_tpu.eval.server import make_server
+    from visuelle2_tpu.models import VocabSizes, build
+
+    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+                  embedding_dim=16, hidden_dim=16, image_arch="tiny")
+    batch = _synthetic_batch(8, 32)
+    batch["img_idx"] = (np.arange(8) // 2).astype(np.int32)  # 4 slots, 8 rows
+    batch["images"] = batch["images"][:4]
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, batch, train=False)
+    path = str(tmp_path / "dedup.v2tpu")
+    export_forecaster(model, variables, batch, path)
+    fn, header = load_forecaster(path)
+
+    srv = make_server(fn, header, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    client = ForecastClient(f"http://127.0.0.1:{port}")
+    try:
+        want = np.asarray(fn(batch))
+        np.testing.assert_allclose(client.forecast(batch), want, atol=1e-5)
+
+        # Short request: 3 rows over 2 of its own image slots.  The server
+        # pads rows AND slots to the export shapes and slices back.
+        short = {k: np.asarray(v)[:3] for k, v in batch.items()
+                 if k not in ("images", "img_idx")}
+        short["images"] = np.asarray(batch["images"])[:2]
+        short["img_idx"] = np.array([0, 1, 1], np.int32)
+        got = client.forecast(short)
+        assert got.shape[0] == 3
+        padded = {k: np.asarray(v) for k, v in batch.items()}
+        for k, v in short.items():
+            full = np.zeros_like(padded[k])
+            full[:v.shape[0]] = v
+            padded[k] = full
+        np.testing.assert_allclose(got, np.asarray(fn(padded))[:3], atol=1e-5)
+
+        h = client.health()
+        assert h["ok"] and not h["batched"]  # dedup -> per-request dispatch
+        assert h["dispatches"] == h["requests"] == 2
+    finally:
+        srv.shutdown()
