@@ -181,6 +181,11 @@ def test_score_split_one_pass_matches_batched(synthetic_dataset):
                      measure_throughput=False, one_pass=True)
     assert abs(r1.wape - r2.wape) < 1e-3
     assert abs(r1.mae - r2.mae) < 1e-4
+    # The compiled eval batch reports its XLA buffer assignment: peak
+    # device memory must cover at least one device's share of the inputs.
+    in_bytes = sum(np.asarray(v).nbytes for v in next(iter(loader)).values())
+    assert r1.peak_hbm_bytes and r1.peak_hbm_bytes >= in_bytes // 8
+    assert f"peak HBM {r1.peak_hbm_bytes / 2**30:.2f} GiB" in r1.summary()
 
     # Default (auto): small splits go one-pass; a split whose stacked bytes
     # exceed the HBM budget falls back to the per-batch loop.  Both rails

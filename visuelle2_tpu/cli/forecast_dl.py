@@ -84,7 +84,8 @@ def run(args):
                        "num_forecasts": result.num_forecasts,
                        "forecasts_per_sec_per_chip":
                            result.forecasts_per_sec_per_chip,
-                       "gflops_per_sample": result.gflops_per_sample}, f)
+                       "gflops_per_sample": result.gflops_per_sample,
+                       "peak_hbm_bytes": result.peak_hbm_bytes}, f)
     print(result.summary())
     print(f"WAPE: {result.wape}")
     print(f"MAE: {result.mae}")

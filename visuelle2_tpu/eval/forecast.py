@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from visuelle2_tpu.data.loader import BatchLoader
-from visuelle2_tpu.eval.profiler import compiled_flops
+from visuelle2_tpu.eval.profiler import compiled_stats
 from visuelle2_tpu.ops.metrics import eval_metrics, finalize_metrics
 from visuelle2_tpu.parallel.mesh import batch_sharding, make_mesh
 from visuelle2_tpu.train.loop import expand_mask, target_and_pred
@@ -66,6 +66,7 @@ class ForecastResult:
     forecasts_per_sec: Optional[float] = None
     forecasts_per_sec_per_chip: Optional[float] = None
     gflops_per_sample: Optional[float] = None
+    peak_hbm_bytes: Optional[int] = None  # of one compiled eval batch
 
     def summary(self) -> str:
         parts = [f"WAPE: {self.wape:.3f}", f"MAE: {self.mae:.3f}"]
@@ -73,6 +74,8 @@ class ForecastResult:
             parts.append(f"{self.forecasts_per_sec_per_chip:,.0f} forecasts/s/chip")
         if self.gflops_per_sample:
             parts.append(f"{self.gflops_per_sample:.3f} GFLOPs/sample")
+        if self.peak_hbm_bytes:
+            parts.append(f"peak HBM {self.peak_hbm_bytes / 2**30:.2f} GiB/batch")
         return ", ".join(parts)
 
 
@@ -153,13 +156,15 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
     sums = {k: float(v) for k, v in sums.items()}
     fin = finalize_metrics(sums)
 
-    fps = fps_chip = gflops = None
+    fps = fps_chip = gflops = peak_hbm = None
     if batches:
         b0 = batches[0]
         bs = int(b0["mask"].shape[0])
-        total = compiled_flops(eval_step, variables, b0)
+        total, mem = compiled_stats(eval_step, variables, b0)
         if total is not None and np.isfinite(total):
             gflops = total / bs / 1e9
+        if mem is not None:
+            peak_hbm = mem["peak_bytes"]
         if measure_throughput:
             # Relay-safe methodology (CLAUDE.md "Benchmark integrity", same
             # as bench.py): identical dispatches are deduped, independent
@@ -214,4 +219,4 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
     return ForecastResult(
         wape=fin["wape"], mae=fin["mae"], num_forecasts=int(sums["count"]),
         forecasts_per_sec=fps, forecasts_per_sec_per_chip=fps_chip,
-        gflops_per_sample=gflops)
+        gflops_per_sample=gflops, peak_hbm_bytes=peak_hbm)

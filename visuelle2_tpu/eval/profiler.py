@@ -16,14 +16,44 @@ import jax
 def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
     """Total FLOPs of the compiled program (None if the backend doesn't
     report cost analysis)."""
+    flops, _ = compiled_stats(jitted_fn, *args, **kwargs)
+    return flops
+
+
+def compiled_stats(jitted_fn, *args, **kwargs):
+    """``(flops, memory)`` of the compiled program, from ONE compile.
+
+    ``memory`` is XLA's own buffer assignment in bytes — arguments,
+    outputs, temp (activations/workspace), and the peak — the exact answer
+    to "does this batch size fit in HBM?", which the reference's thop
+    profile (forecast_dl.py:148-160) cannot give.  Either element is None
+    when the backend doesn't report it.
+    """
     try:
         compiled = jitted_fn.lower(*args, **kwargs).compile()
+    except Exception:
+        return None, None
+    flops = memory = None
+    try:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns a per-computation list
             cost = cost[0]
-        return float(cost.get("flops", float("nan")))
+        flops = float(cost.get("flops", float("nan")))
     except Exception:
-        return None
+        pass
+    try:
+        m = compiled.memory_analysis()
+        memory = {
+            "argument_bytes": int(m.argument_size_in_bytes),
+            "output_bytes": int(m.output_size_in_bytes),
+            "temp_bytes": int(m.temp_size_in_bytes),
+            "peak_bytes": int(m.peak_memory_in_bytes) or (
+                int(m.argument_size_in_bytes) + int(m.output_size_in_bytes)
+                + int(m.temp_size_in_bytes)),
+        }
+    except Exception:
+        pass
+    return flops, memory
 
 
 def flops_per_sample(jitted_fn, batch_size: int, *args, **kwargs):
