@@ -447,3 +447,62 @@ def test_http_server_serves_dedup_artifact(tmp_path):
         assert h["dispatches"] == h["requests"] == 2
     finally:
         srv.shutdown()
+
+
+def test_micro_batcher_singleton_failure_not_redispatched():
+    """A failed singleton dispatch must record its error directly — the
+    per-request fallback would re-run the identical failing call, doubling
+    device cost and latency for every deterministic failure."""
+    from visuelle2_tpu.eval.server import MicroBatcher
+
+    calls = []
+
+    def fn(batch):
+        calls.append(True)
+        raise RuntimeError("always fails")
+
+    mb = MicroBatcher(fn, ["mask"], {"mask": (8,)})
+    try:
+        with pytest.raises(RuntimeError, match="always fails"):
+            mb.submit({"mask": np.ones(2, np.float32)})
+        assert len(calls) == 1  # no second identical dispatch
+    finally:
+        mb.close()
+
+
+def test_http_server_maps_fault_classes_to_status_codes():
+    """Malformed requests are permanent 400s; server-side faults are
+    retryable 503s (a device hiccup must not be reported as a bad
+    request to retry policies / load balancers)."""
+    import threading
+
+    from visuelle2_tpu.eval.client import (ForecastClient, ServerError,
+                                           TransientServerError)
+    from visuelle2_tpu.eval.server import make_server
+
+    state = {"fail": False}
+
+    def fn(batch):
+        if state["fail"]:
+            raise RuntimeError("device lost")
+        return np.asarray(batch["x"]) * 2.0
+
+    header = {"keys": ["mask", "x"], "shapes": {"mask": [8], "x": [8, 2]},
+              "dtypes": {"mask": "float32", "x": "float32"}}
+    srv = make_server(fn, header, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    client = ForecastClient(f"http://127.0.0.1:{srv.server_address[1]}")
+    good = {"mask": np.ones(2, np.float32), "x": np.ones((2, 2), np.float32)}
+    try:
+        np.testing.assert_allclose(client.forecast(good), good["x"] * 2.0)
+        with pytest.raises(ServerError, match="missing keys"):
+            client.forecast({"mask": good["mask"]})
+        state["fail"] = True
+        with pytest.raises(TransientServerError, match="device lost"):
+            client.forecast(good)
+        state["fail"] = False  # the same request succeeds again
+        np.testing.assert_allclose(client.forecast(good), good["x"] * 2.0)
+    finally:
+        srv.shutdown()
+        srv.batcher.close()

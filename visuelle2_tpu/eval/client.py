@@ -24,7 +24,16 @@ import numpy as np
 
 
 class ServerError(RuntimeError):
-    """The server rejected the request (HTTP 400 body = the reason)."""
+    """The server rejected the request (HTTP 400 body = the reason).
+
+    Permanent: the same request will fail again — fix the batch."""
+
+
+class TransientServerError(RuntimeError):
+    """A server-side fault (HTTP 503 body = the reason).
+
+    Retryable: the request itself is fine — device/runtime hiccup or a
+    shutdown race; retry with backoff."""
 
 
 class ForecastClient:
@@ -54,4 +63,6 @@ class ForecastClient:
         except urllib.error.HTTPError as e:
             if e.code == 400:
                 raise ServerError(e.read().decode()) from None
+            if e.code == 503:
+                raise TransientServerError(e.read().decode()) from None
             raise

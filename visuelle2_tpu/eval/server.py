@@ -69,6 +69,47 @@ def _slice_samples(out, batch_rows, start, n):
     return out[start:start + n]
 
 
+def _validate_request(arrays, keys, shapes, dtypes, row_exempt=()) -> int:
+    """Reject a malformed request with a precise reason; returns its rows.
+
+    ``row_exempt`` names keys whose leading axis is NOT the sample axis
+    (dedup artifacts' ``images`` is indexed in image SLOTS) — they still get
+    the trailing-dims / capacity / dtype checks, only the shared-row-count
+    check skips them.  Dtypes are checked per request: a float64 mask
+    (numpy's default) concatenated into a shared pack would promote the
+    whole combined array and fail the exported call for every coalesced
+    client, not just the offender.
+    """
+    missing = set(keys) - set(arrays)
+    if missing:
+        raise ValueError(f"batch missing keys: {sorted(missing)}")
+    rows = None
+    for k in keys:
+        a = np.asarray(arrays[k])
+        want = shapes.get(k)  # absent in pre-"shapes" artifact headers
+        if want is not None:
+            if list(a.shape[1:]) != list(want[1:]):
+                raise ValueError(f"'{k}' trailing dims {a.shape[1:]} "
+                                 f"!= export {tuple(want[1:])}")
+            if a.shape[0] > want[0]:
+                raise ValueError(f"'{k}' has {a.shape[0]} rows > "
+                                 f"export batch {want[0]}")
+        want_dt = dtypes.get(k) if dtypes else None
+        if want_dt is not None and a.dtype != np.dtype(want_dt):
+            raise ValueError(f"'{k}' dtype {a.dtype} != export {want_dt}")
+        if k in row_exempt:
+            continue
+        if rows is None:
+            rows = a.shape[0]
+        elif a.shape[0] != rows:
+            raise ValueError(
+                f"'{k}' has {a.shape[0]} rows but other keys have "
+                f"{rows} — all arrays must share the sample axis")
+    if rows == 0:
+        raise ValueError("empty batch")
+    return rows
+
+
 class MicroBatcher:
     """Packs concurrent forecast requests into shared full-batch dispatches.
 
@@ -113,36 +154,8 @@ class MicroBatcher:
 
     # --------------------------------------------------------------- internal
     def _validate(self, arrays) -> int:
-        missing = set(self._keys) - set(arrays)
-        if missing:
-            raise ValueError(f"batch missing keys: {sorted(missing)}")
-        rows = None
-        for k in self._keys:
-            a = np.asarray(arrays[k])
-            want = self._shapes[k]
-            if list(a.shape[1:]) != list(want[1:]):
-                raise ValueError(f"'{k}' trailing dims {a.shape[1:]} "
-                                 f"!= export {tuple(want[1:])}")
-            if a.shape[0] > want[0]:
-                raise ValueError(f"'{k}' has {a.shape[0]} rows > "
-                                 f"export batch {want[0]}")
-            # Dtype-checked HERE, per request: a float64 mask (numpy's
-            # default) concatenated into a shared pack would promote the
-            # whole combined array and fail the exported call for every
-            # coalesced client, not just the offender.
-            want_dt = self._dtypes.get(k)
-            if want_dt is not None and a.dtype != want_dt:
-                raise ValueError(f"'{k}' dtype {a.dtype} != export "
-                                 f"{want_dt}")
-            if rows is None:
-                rows = a.shape[0]
-            elif a.shape[0] != rows:
-                raise ValueError(
-                    f"'{k}' has {a.shape[0]} rows but other keys have "
-                    f"{rows} — all arrays must share the sample axis")
-        if rows == 0:
-            raise ValueError("empty batch")
-        return rows
+        return _validate_request(arrays, self._keys, self._shapes,
+                                 self._dtypes)
 
     def _take(self):
         """FIFO-pack queued requests into one dispatch, up to capacity."""
@@ -182,14 +195,21 @@ class MicroBatcher:
                 take, rows = self._take()
             try:
                 self._dispatch(take)
-            except Exception:
-                # One bad request must not 400 its packmates: fall back to
-                # per-request dispatches so only the offender fails.
-                for r in take:
-                    try:
-                        self._dispatch([r])
-                    except Exception as e:
-                        r.error = e
+            except Exception as first:
+                if len(take) == 1:
+                    # A singleton that failed would fail identically again:
+                    # record the error instead of paying a second
+                    # full-batch device call.
+                    take[0].error = first
+                else:
+                    # One bad request must not fail its packmates: fall
+                    # back to per-request dispatches so only the offender
+                    # errors.
+                    for r in take:
+                        try:
+                            self._dispatch([r])
+                        except Exception as e:
+                            r.error = e
             for r in take:
                 r.event.set()
 
@@ -208,7 +228,7 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
     # responses must be sliced per SAMPLE, not per output row.
     batch_rows = shapes.get("mask", (0,))[0]
     dedup = "img_idx" in keys
-    stats = {"requests": 0}
+    stats = {"requests": 0, "dedup_dispatches": 0}
     stats_lock = threading.Lock()
     batcher = None if dedup else MicroBatcher(forecast_fn, keys, shapes,
                                               header.get("dtypes"))
@@ -222,28 +242,24 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
 
     def run_dedup(arrays):
         """One dispatch per request: img_idx rows index the request's own
-        image slots, so requests cannot be row-concatenated."""
-        missing = set(keys) - set(arrays)
-        if missing:
-            raise ValueError(f"batch missing keys: {sorted(missing)}")
+        image slots, so requests cannot be row-concatenated.  Validation
+        matches the coalescing path's, except ``images`` is slot-indexed
+        (not on the sample axis)."""
+        _validate_request(arrays, keys, shapes, header.get("dtypes"),
+                          row_exempt=("images",))
         n = np.asarray(arrays["mask"]).shape[0] if "mask" in arrays else None
         padded = {}
         for k in keys:
             a = np.asarray(arrays[k])
             want = shapes.get(k)
-            if want is not None:
-                if a.shape[1:] != want[1:]:
-                    raise ValueError(f"'{k}' trailing dims {a.shape[1:]} "
-                                     f"!= export {want[1:]}")
-                if a.shape[0] > want[0]:
-                    raise ValueError(f"'{k}' has {a.shape[0]} rows > "
-                                     f"export batch {want[0]}")
-                if a.shape[0] < want[0]:
-                    pad = [(0, want[0] - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-                    a = np.pad(a, pad)
+            if want is not None and a.shape[0] < want[0]:
+                pad = [(0, want[0] - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+                a = np.pad(a, pad)
             padded[k] = a
         with lock:
             out = np.asarray(forecast_fn(padded))
+        with stats_lock:
+            stats["dedup_dispatches"] += 1
         return slice_rows(out, n)
 
     def run_batch(arrays):
@@ -272,7 +288,7 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
                 "shapes": {k: list(v) for k, v in shapes.items()},
                 "requests": stats["requests"],
                 "dispatches": batcher.dispatches if batcher else
-                stats["requests"],
+                stats["dedup_dispatches"],
                 "batched": batcher is not None,
             }).encode()
             self._send(200, body, "application/json")
@@ -288,8 +304,15 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
                 buf = io.BytesIO()
                 np.savez(buf, forecast=out)
                 self._send(200, buf.getvalue(), "application/octet-stream")
-            except Exception as e:  # client errors -> 400 with the reason
+            except (ValueError, KeyError, AssertionError) as e:
+                # Malformed request -> permanent client error.
                 self._send(400, f"{type(e).__name__}: {e}".encode(),
+                           "text/plain")
+            except Exception as e:
+                # Server-side fault (device/runtime error, shutdown race):
+                # 503 so clients and load balancers RETRY, instead of a 400
+                # that marks retryable traffic as permanently bad.
+                self._send(503, f"{type(e).__name__}: {e}".encode(),
                            "text/plain")
 
     srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)

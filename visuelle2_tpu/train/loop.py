@@ -101,7 +101,6 @@ class TrainConfig:
     grad_clip: Optional[float] = None  # 0.5 for the transformer family
     learning_rate: Any = None  # None = fairseq relative-step schedule
     ckpt_dir: Optional[str] = None
-    log_every: int = 50
     norm_scalar: float = 53.0
     data_parallel: bool = True
     # Tensor parallelism: kernels with a trailing dim >= tp_min_dim (and
@@ -176,7 +175,11 @@ class PreemptionWatch:
 
     def __exit__(self, *exc):
         for s, prev in self._previous.items():
-            signal.signal(s, prev)
+            # ``prev`` is None when the displaced handler was installed
+            # from C (signal.signal cannot restore those and raises
+            # TypeError on None): fall back to the default disposition
+            # rather than crashing fit() after a completed run.
+            signal.signal(s, prev if prev is not None else signal.SIG_DFL)
         self._previous.clear()
         return False
 
@@ -246,31 +249,31 @@ class Trainer:
         return jax.device_put(state, self._replicated)
 
     # ------------------------------------------------------------- compiled
+    def _train_loss(self, params, stats, batch, drop_rng, samp_rng):
+        """Train-mode objective shared by the plain and accumulating steps
+        (one source of truth — the two compiled paths cannot drift).
+        Frozen-stage grads can never be emitted (XLA also DCEs them when
+        unused — measured identical; see optim.py)."""
+        variables = {"params": optim_lib.stop_frozen_gradients(params)}
+        if stats:
+            variables["batch_stats"] = stats
+        out, mutated = self.model.apply(
+            variables, batch, train=True,
+            rngs={"dropout": drop_rng, "sampling": samp_rng},
+            mutable=["batch_stats"])
+        forecast, _aux = out
+        target, pred = target_and_pred(batch, forecast)
+        loss = mse_loss(target, pred, expand_mask(batch, target))
+        return loss, mutated.get("batch_stats", stats)
+
     def _build_train_step(self):
-        model = self.model
-        cfg = self.config
+        train_loss = self._train_loss
 
         def step_fn(state: TrainState, batch, rng):
             drop_rng, samp_rng = jax.random.split(jax.random.fold_in(rng, state.step))
-
-            def loss_fn(params):
-                # Frozen-stage grads can never be emitted (XLA also DCEs
-                # them when unused — measured identical; see optim.py).
-                variables = {"params": optim_lib.stop_frozen_gradients(params)}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                out, mutated = model.apply(
-                    variables, batch, train=True,
-                    rngs={"dropout": drop_rng, "sampling": samp_rng},
-                    mutable=["batch_stats"])
-                forecast, _aux = out
-                target, pred = target_and_pred(batch, forecast)
-                row_mask = expand_mask(batch, target)
-                loss = mse_loss(target, pred, row_mask)
-                return loss, mutated.get("batch_stats", state.batch_stats)
-
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params)
+            (loss, new_stats), grads = jax.value_and_grad(
+                train_loss, has_aux=True)(state.params, state.batch_stats,
+                                          batch, drop_rng, samp_rng)
             new_state = state.apply_gradients(grads, new_stats)
             return new_state, {"loss": loss}
 
@@ -284,23 +287,10 @@ class Trainer:
         BatchNorm stats sequentially — semantically the batches ran back to
         back, but params move once with the averaged gradient (the
         reference's ``pl.Trainer(accumulate_grad_batches=N)`` analogue)."""
-        model = self.model
+        train_loss = self._train_loss
 
         def step_fn(state: TrainState, batches, rng):
             base_rng = jax.random.fold_in(rng, state.step)
-
-            def loss_fn(params, stats, batch, drop_rng, samp_rng):
-                variables = {"params": optim_lib.stop_frozen_gradients(params)}
-                if stats:
-                    variables["batch_stats"] = stats
-                out, mutated = model.apply(
-                    variables, batch, train=True,
-                    rngs={"dropout": drop_rng, "sampling": samp_rng},
-                    mutable=["batch_stats"])
-                forecast, _aux = out
-                target, pred = target_and_pred(batch, forecast)
-                loss = mse_loss(target, pred, expand_mask(batch, target))
-                return loss, mutated.get("batch_stats", stats)
 
             def micro(carry, xs):
                 stats, gsum, lsum = carry
@@ -308,8 +298,8 @@ class Trainer:
                 drop_rng, samp_rng = jax.random.split(
                     jax.random.fold_in(base_rng, i))
                 (loss, stats), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params, stats, batch_t,
-                                           drop_rng, samp_rng)
+                    train_loss, has_aux=True)(state.params, stats, batch_t,
+                                              drop_rng, samp_rng)
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
                 return (stats, gsum, lsum + loss), None
 
@@ -397,6 +387,11 @@ class Trainer:
             part = self.eval_step(state, batch)
             sums = part if sums is None else jax.tree_util.tree_map(
                 jnp.add, sums, part)
+        if sums is None:
+            raise ValueError(
+                "evaluate() got a loader with zero batches — the validation "
+                "split is empty (or smaller than batch_size with "
+                "drop_remainder)")
         sums = {k: float(v) for k, v in sums.items()}
         out = finalize_metrics(sums)
         return {"val_mae": out["mae"], "val_wWAPE": out["wape"]}
