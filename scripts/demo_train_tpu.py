@@ -40,10 +40,10 @@ def main(root="/tmp/vis2_demo", epochs=4, batch_size=64, image_size=299):
     tr = load_visuelle2(root, "train", demand=True, output_len=12)
     te = load_visuelle2(root, "test", demand=True, output_len=12)
     store_tr = ImageStore.build(os.path.join(root, "images"), tr.image_paths,
-                                cache_file=ImageStore.cache_path(root, "train"),
+                                cache_file=ImageStore.cache_path(root, "train", image_size),
                                 size=image_size)
     store_te = ImageStore.build(os.path.join(root, "images"), te.image_paths,
-                                cache_file=ImageStore.cache_path(root, "test"),
+                                cache_file=ImageStore.cache_path(root, "test", image_size),
                                 size=image_size)
     train_loader = BatchLoader(tr, store_tr, batch_size, shuffle=True,
                                drop_remainder=True)

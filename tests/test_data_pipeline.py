@@ -120,7 +120,7 @@ def test_image_store_and_loader(synthetic_dataset):
     arrays = load_visuelle2(synthetic_dataset, "train", demand=False, output_len=1)
     store = ImageStore.build(
         synthetic_dataset + "/images", arrays.image_paths,
-        cache_file=ImageStore.cache_path(synthetic_dataset, "train"), size=32)
+        cache_file=ImageStore.cache_path(synthetic_dataset, "train", 32), size=32)
     assert store.pixels.shape == (len(arrays), 32, 32, 3)
 
     loader = BatchLoader(arrays, store, batch_size=16, shuffle=True)
@@ -175,3 +175,41 @@ def test_windows_use_cleaned_series_but_demand_uses_raw(tmp_path):
     dm = preprocess_dataframe(df, g, {"c": 0}, {"k": 0}, {"f": 0},
                               demand=True, output_len=12)
     np.testing.assert_allclose(dm.ts[0], sales)  # raw, not cleaned
+
+
+def test_image_cache_invalidation_and_atomicity(synthetic_dataset, tmp_path):
+    """The image cache must NOT be trusted blindly: a cache written by a
+    different row subset (--quick_debug), a different --image_size, or an
+    interrupted write has to rebuild instead of silently serving wrong
+    pixels (or wedging every later run)."""
+    arrays = load_visuelle2(synthetic_dataset, "train", demand=False,
+                            output_len=1)
+    cache = str(tmp_path / "imgs.npz")
+    img_root = synthetic_dataset + "/images"
+
+    # Seed the cache from a SUBSET of the rows (the quick_debug shape).
+    sub = ImageStore.build(img_root, arrays.image_paths[:8],
+                           cache_file=cache, size=32)
+    assert len(sub) == 8
+
+    # Full-row build with the same cache file must rebuild, not load 8 rows.
+    full = ImageStore.build(img_root, arrays.image_paths,
+                            cache_file=cache, size=32)
+    assert len(full) == len(arrays)
+
+    # Size change with the same cache file must rebuild too.
+    small = ImageStore.build(img_root, arrays.image_paths,
+                             cache_file=cache, size=16)
+    assert small.pixels.shape[1] == 16
+
+    # A truncated cache (interrupted write before atomicity existed, or a
+    # bad copy) must rebuild rather than crash forever.
+    with open(cache, "wb") as f:
+        f.write(b"PK\x03\x04 garbage")
+    again = ImageStore.build(img_root, arrays.image_paths,
+                             cache_file=cache, size=32)
+    assert len(again) == len(arrays) and again.pixels.shape[1] == 32
+
+    # Stale-store/loader mismatch is a loud error, not a truncated epoch.
+    with pytest.raises(ValueError, match="stale image cache"):
+        BatchLoader(arrays, sub, batch_size=16)

@@ -100,7 +100,8 @@ def build_loaders(args, *, demand: bool, output_len: int,
             arrays = arrays.subset(1000)  # train_dl.py:80-82
         store = ImageStore.build(
             os.path.join(args.dataset_path, "images"), arrays.image_paths,
-            cache_file=ImageStore.cache_path(args.dataset_path, split),
+            cache_file=ImageStore.cache_path(args.dataset_path, split,
+                                             args.image_size),
             size=args.image_size)
         extras = None
         if featurizer is not None:

@@ -67,16 +67,34 @@ class ImageStore:
         return np.ascontiguousarray(self.pixels[self.image_indices(rows)])
 
     @staticmethod
-    def cache_path(dataset_path: str, split: str) -> str:
-        return os.path.join(dataset_path, f"images_{split}_{IMAGE_SIZE}.npz")
+    def cache_path(dataset_path: str, split: str,
+                   size: int = IMAGE_SIZE) -> str:
+        return os.path.join(dataset_path, f"images_{split}_{size}.npz")
+
+    @staticmethod
+    def _paths_digest(image_paths) -> int:
+        import zlib
+
+        return zlib.crc32("\n".join(map(str, image_paths)).encode())
 
     @classmethod
     def build(cls, img_root: str, image_paths: Sequence[str],
               cache_file: Optional[str] = None,
               size: int = IMAGE_SIZE) -> "ImageStore":
+        digest = cls._paths_digest(image_paths)
         if cache_file and os.path.isfile(cache_file):
-            with np.load(cache_file) as z:
-                return cls(z["pixels"], z["row_to_img"])
+            # Validate before trusting: a cache written by a different row
+            # subset (--quick_debug), a different --image_size, or an
+            # interrupted write must REBUILD, not silently serve wrong data.
+            try:
+                with np.load(cache_file) as z:
+                    ok = (int(z["paths_crc32"]) == digest
+                          and z["pixels"].shape[1] == size
+                          and z["row_to_img"].shape[0] == len(image_paths))
+                    if ok:
+                        return cls(z["pixels"], z["row_to_img"])
+            except Exception:
+                pass  # truncated/legacy cache -> rebuild below
 
         from PIL import Image, ImageFile
 
@@ -90,5 +108,10 @@ class ImageStore:
             pixels[i] = np.asarray(img, dtype=np.uint8)
         store = cls(pixels, row_to_img.astype(np.int64))
         if cache_file:
-            np.savez(cache_file, pixels=pixels, row_to_img=store.row_to_img)
+            # Atomic: a Ctrl-C mid-savez must not leave a truncated npz at
+            # the canonical path that wedges every later run.
+            tmp = f"{cache_file}.{os.getpid()}.tmp.npz"
+            np.savez(tmp, pixels=pixels, row_to_img=store.row_to_img,
+                     paths_crc32=np.int64(digest))
+            os.replace(tmp, cache_file)
         return store

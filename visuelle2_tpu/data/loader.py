@@ -43,6 +43,11 @@ class BatchLoader:
                  image_slots: int = 0):
         self.arrays = arrays
         self.images = images
+        if images is not None and len(images) != len(arrays):
+            raise ValueError(
+                f"ImageStore maps {len(images)} rows but the split has "
+                f"{len(arrays)} — a stale image cache (different subset or "
+                f"--image_size)? Delete it so it rebuilds")
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -116,7 +121,7 @@ class BatchLoader:
             from visuelle2_tpu import native
 
             if native.is_available():
-                self._engine = native.PrefetchEngine()
+                self._engine = native.shared_engine()
 
     def __len__(self) -> int:
         n = len(self.arrays)
@@ -229,8 +234,11 @@ class BatchLoader:
             out = np.empty((len(img_idx),) + src.shape[1:], np.uint8)
             return idx, self._engine.submit(src, img_idx, out)
 
-        pending = submit(blocks[0])
         try:
+            # The first submit sits inside the try: an exception between
+            # submit() returning and ``pending`` being consumed must still
+            # reach the finally-wait — C++ workers write into ``out``.
+            pending = submit(blocks[0])
             for nxt in blocks[1:] + [None]:
                 idx, handle = pending
                 pending = None

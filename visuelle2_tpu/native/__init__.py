@@ -23,12 +23,21 @@ _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
+    # Compile to a per-pid temp name and rename into place: concurrent
+    # first-use builds (multi-process training) must never CDLL a
+    # half-written .so, and os.rename is atomic on one filesystem.
     src = os.path.join(_HERE, "prefetch.cc")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", src, "-o", _SO]
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _SO)
         return None
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return getattr(e, "stderr", str(e)) or str(e)
 
 
@@ -44,7 +53,21 @@ def _load():
             if err is not None:
                 _build_error = err
                 return
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # Corrupt/truncated .so (a build interrupted before the atomic
+            # rename existed, or copied in broken): rebuild once, then give
+            # up cleanly — is_available() must return False, not raise.
+            err = _build()
+            if err is not None:
+                _build_error = err
+                return
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError as e:
+                _build_error = str(e)
+                return
         lib.prefetch_engine_create.restype = ctypes.c_void_p
         lib.prefetch_engine_create.argtypes = [ctypes.c_int]
         lib.prefetch_engine_destroy.argtypes = [ctypes.c_void_p]
@@ -87,12 +110,20 @@ class PrefetchEngine:
 
     @staticmethod
     def _check(src: np.ndarray, indices: np.ndarray, out: np.ndarray):
-        assert src.dtype == np.uint8 and out.dtype == np.uint8
-        assert src.flags["C_CONTIGUOUS"] and out.flags["C_CONTIGUOUS"]
-        assert indices.dtype == np.int64 and indices.flags["C_CONTIGUOUS"]
+        # Real exceptions, not asserts: these guard raw C memcpy offsets —
+        # under ``python -O`` an assert-stripped mismatch would read/write
+        # out of bounds instead of raising.
+        if src.dtype != np.uint8 or out.dtype != np.uint8:
+            raise TypeError(f"src/out must be uint8, got {src.dtype}/{out.dtype}")
+        if not (src.flags["C_CONTIGUOUS"] and out.flags["C_CONTIGUOUS"]):
+            raise ValueError("src and out must be C-contiguous")
+        if indices.dtype != np.int64 or not indices.flags["C_CONTIGUOUS"]:
+            raise TypeError("indices must be C-contiguous int64")
         row_bytes = int(np.prod(src.shape[1:]))
-        assert out.shape[0] == indices.shape[0]
-        assert int(np.prod(out.shape[1:])) == row_bytes
+        if out.shape[0] != indices.shape[0]:
+            raise ValueError(f"out rows {out.shape[0]} != indices {indices.shape[0]}")
+        if int(np.prod(out.shape[1:])) != row_bytes:
+            raise ValueError(f"out row shape {out.shape[1:]} != src {src.shape[1:]}")
         return row_bytes
 
     def submit(self, src: np.ndarray, indices: np.ndarray, out: np.ndarray):
@@ -116,3 +147,22 @@ class PrefetchEngine:
         if out is None:
             out = np.empty((len(indices),) + src.shape[1:], np.uint8)
         return self.wait(self.submit(src, indices, out))
+
+
+_engine_lock = threading.Lock()
+_shared_engine: Optional[PrefetchEngine] = None
+
+
+def shared_engine() -> PrefetchEngine:
+    """The process-wide engine: loaders share ONE thread pool.
+
+    A train+test loader pair (cli/common.py) would otherwise each spawn a
+    mostly-idle 8-thread pool; only one loader gathers at a time, and the
+    C++ job queue is mutex-protected, so sharing is safe.  Raises when the
+    native library is unavailable — callers gate on ``is_available()``.
+    """
+    global _shared_engine
+    with _engine_lock:
+        if _shared_engine is None:
+            _shared_engine = PrefetchEngine()
+        return _shared_engine
