@@ -278,7 +278,7 @@ def test_export_rejects_wrong_file(tmp_path):
 
     p = tmp_path / "junk.bin"
     p.write_bytes(b"not an export")
-    with pytest.raises(AssertionError, match="not a visuelle2_tpu export"):
+    with pytest.raises(ValueError, match="not a visuelle2_tpu export"):
         load_forecaster(str(p))
 
 

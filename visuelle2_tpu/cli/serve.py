@@ -32,36 +32,43 @@ def run(args):
     demand = bool(args.demand)
     output_len = 12 if demand else args.output_len
     dedup = "img_idx" in header["keys"]
-    # A dedup artifact's signature fixed its image-slot count at export time
-    # (exporting host's device topology); build the loader with that exact
-    # count rather than recomputing from the local device count.
+    # The artifact's signature fixed the batch size AND (for dedup) the
+    # image-slot count at export time; build the loader with exactly those,
+    # not the local flags/topology — any other shapes fail the exported
+    # call's signature check.
+    if "mask" in header.get("shapes", {}):
+        args.batch_size = int(header["shapes"]["mask"][0])
     slots = int(header["shapes"]["images"][0]) if dedup else 0
     loaders, _vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=output_len, splits=("test",),
         dedup_eval_images=dedup, dedup_image_slots=slots)
     loader = loaders["test"]
 
-    err_sum = gt_sum = n_vals = n_forecasts = 0.0
+    # Shared scoring helpers (train.loop / ops.metrics): the artifact path
+    # must compute WAPE/MAE identically to the model path it cross-checks.
+    import jax
+    import jax.numpy as jnp
+
+    from visuelle2_tpu.ops.metrics import eval_metrics, finalize_metrics
+    from visuelle2_tpu.train.loop import expand_mask, target_and_pred
+
+    sums = None
     t0 = time.perf_counter()
     for batch in loader:
         forecast = np.asarray(fn(batch))  # host fetch serializes batches
-        if demand:
-            target = batch["ts"]
-            mask = batch["mask"]
-        else:
-            target = batch["y"].reshape(-1, batch["y"].shape[-1])
-            reps = target.shape[0] // batch["mask"].shape[0]
-            mask = np.repeat(batch["mask"], reps) if reps > 1 else batch["mask"]
-        pred = forecast.reshape(target.shape)
-        err_sum += (np.abs(target - pred) * norm_scalar * mask[:, None]).sum()
-        gt_sum += (np.abs(target) * norm_scalar * mask[:, None]).sum()
-        n_vals += mask.sum() * target.shape[-1]
-        n_forecasts += mask.sum()
+        target, pred = target_and_pred(batch, forecast)
+        part = eval_metrics(target, pred, expand_mask(batch, target),
+                            norm_scalar=norm_scalar)
+        sums = part if sums is None else jax.tree_util.tree_map(
+            jnp.add, sums, part)
     dt = time.perf_counter() - t0
-    wape = 100.0 * err_sum / max(gt_sum, 1e-9)
-    mae = err_sum / max(n_vals, 1.0)
+    if sums is None:
+        raise SystemExit("the test split has no batches")
+    sums = {k: float(v) for k, v in sums.items()}
+    fin = finalize_metrics(sums)
+    wape, mae = fin["wape"], fin["mae"]
     print(f"WAPE: {wape:.3f}, MAE: {mae:.3f}, "
-          f"{n_forecasts / dt:,.0f} forecasts/s (artifact, host-synced per batch)")
+          f"{sums['rows'] / dt:,.0f} forecasts/s (artifact, host-synced per batch)")
     print(f"WAPE: {wape}")
     print(f"MAE: {mae}")
     return {"wape": wape, "mae": mae}

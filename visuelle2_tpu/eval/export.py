@@ -21,8 +21,9 @@ import jax
 import numpy as np
 from jax import export as jax_export
 
-# Artifact layout: a 16-byte length-prefixed JSON header (batch-key order and
-# version) followed by the serialized StableHLO module.
+# Artifact layout: 12-byte magic, 8-byte little-endian JSON-header length,
+# the JSON header (batch-key order, shapes/dtypes, version), then the
+# serialized StableHLO module.
 _MAGIC = b"V2TPUEXPORT1"
 
 
@@ -121,7 +122,8 @@ def load_forecaster(path: str) -> Tuple[Callable[[Dict[str, np.ndarray]], jax.Ar
     """
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
-        assert magic == _MAGIC, f"not a visuelle2_tpu export: {path}"
+        if magic != _MAGIC:  # real raises: this is the production serving
+            raise ValueError(f"not a visuelle2_tpu export: {path}")
         n = int.from_bytes(f.read(8), "little")
         header = json.loads(f.read(n).decode())
         blob = f.read()
@@ -129,13 +131,23 @@ def load_forecaster(path: str) -> Tuple[Callable[[Dict[str, np.ndarray]], jax.Ar
     keys = header["keys"]
 
     def forecast_fn(batch: Dict[str, np.ndarray]) -> jax.Array:
+        # Validation with real exceptions (asserts vanish under python -O,
+        # and this is the production serving path): a mismatch must give
+        # the per-key reason, not a low-level XLA signature error.
         missing = set(keys) - set(batch)
-        assert not missing, f"batch missing keys: {sorted(missing)}"
+        if missing:
+            raise ValueError(f"batch missing keys: {sorted(missing)}")
         for k, want in header.get("shapes", {}).items():
             got = list(np.shape(batch[k]))
-            assert got == want, (
-                f"batch['{k}'] shape {got} != exported {want} — serving "
-                f"batches must match the export batch/slot sizes")
+            if got != want:
+                raise ValueError(
+                    f"batch['{k}'] shape {got} != exported {want} — serving "
+                    f"batches must match the export batch/slot sizes")
+        for k, want_dt in header.get("dtypes", {}).items():
+            got_dt = np.asarray(batch[k]).dtype
+            if got_dt != np.dtype(want_dt):
+                raise ValueError(
+                    f"batch['{k}'] dtype {got_dt} != exported {want_dt}")
         return exported.call(*(batch[k] for k in keys))
 
     return forecast_fn, header

@@ -62,7 +62,7 @@ def _probe_rt(noop, d0):
 class ForecastResult:
     wape: float
     mae: float
-    num_forecasts: int
+    num_forecasts: int  # masked forecast ROWS (not rows x horizon values)
     forecasts_per_sec: Optional[float] = None
     forecasts_per_sec_per_chip: Optional[float] = None
     gflops_per_sample: Optional[float] = None
@@ -121,6 +121,9 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
 
     if one_pass:
         host_batches = list(loader)
+        if not host_batches:
+            raise ValueError("score_split got a loader with zero batches — "
+                             "the split is empty")
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack(xs), *host_batches)
         # Shard the within-batch axis (axis 1) over data; scan over axis 0.
@@ -136,7 +139,7 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
                 return jax.tree_util.tree_map(jnp.add, carry, part), ()
 
             init = {"abs_err": jnp.zeros(()), "abs_gt": jnp.zeros(()),
-                    "count": jnp.zeros(())}
+                    "count": jnp.zeros(()), "rows": jnp.zeros(())}
             sums, _ = jax.lax.scan(body, init, stacked)
             return sums
 
@@ -149,10 +152,18 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
         batches = []
         for batch in loader:
             batch = jax.device_put(batch, sharding)
-            batches.append(batch)
+            if len(batches) < timing_iters:
+                # Keep only what the FLOPs/throughput probes below need:
+                # retaining every device batch would grow peak HBM to the
+                # whole split — exactly what this fallback path exists to
+                # avoid (ONE_PASS_HBM_BUDGET_BYTES).
+                batches.append(batch)
             part = eval_step(variables, batch)
             sums = part if sums is None else jax.tree_util.tree_map(
                 jnp.add, sums, part)
+        if sums is None:
+            raise ValueError("score_split got a loader with zero batches — "
+                             "the split is empty")
     sums = {k: float(v) for k, v in sums.items()}
     fin = finalize_metrics(sums)
 
@@ -217,6 +228,6 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
             fps_chip = fps / n_chips
 
     return ForecastResult(
-        wape=fin["wape"], mae=fin["mae"], num_forecasts=int(sums["count"]),
+        wape=fin["wape"], mae=fin["mae"], num_forecasts=int(sums["rows"]),
         forecasts_per_sec=fps, forecasts_per_sec_per_chip=fps_chip,
         gflops_per_sample=gflops, peak_hbm_bytes=peak_hbm)

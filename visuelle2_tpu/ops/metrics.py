@@ -50,8 +50,9 @@ def eval_metrics(gt, pred, mask=None, norm_scalar: float = 53.0):
     m = mask[:, None]
     abs_err = jnp.sum(jnp.abs(gt - pred) * m) * norm_scalar
     abs_gt = jnp.sum(jnp.abs(gt) * m) * norm_scalar
-    count = jnp.sum(mask) * gt.shape[1]
-    return {"abs_err": abs_err, "abs_gt": abs_gt, "count": count}
+    count = jnp.sum(mask) * gt.shape[1]  # masked VALUES (rows x horizon)
+    return {"abs_err": abs_err, "abs_gt": abs_gt, "count": count,
+            "rows": jnp.sum(mask)}
 
 
 def finalize_metrics(sums):
