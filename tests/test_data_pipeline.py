@@ -213,3 +213,30 @@ def test_image_cache_invalidation_and_atomicity(synthetic_dataset, tmp_path):
     # Stale-store/loader mismatch is a loud error, not a truncated epoch.
     with pytest.raises(ValueError, match="stale image cache"):
         BatchLoader(arrays, sub, batch_size=16)
+
+
+def test_arrays_cache_corruption_rebuilds_and_demand_horizon(synthetic_dataset):
+    """The preprocessed-arrays npz cache rebuilds on corruption (interrupted
+    pre-atomic write), and a cached demand load returns the REQUESTED
+    horizon: demand arrays are horizon-independent and share one cache key
+    (pipeline.py::_cache_key), so the cached ``output_len`` must not pin the
+    first caller's value."""
+    import os
+
+    from visuelle2_tpu.data.pipeline import _cache_key
+
+    arrays = load_visuelle2(synthetic_dataset, "train", demand=False,
+                            output_len=1)
+    cache = os.path.join(synthetic_dataset, _cache_key("train", False, 1, 52))
+    assert os.path.isfile(cache)
+    with open(cache, "wb") as f:
+        f.write(b"PK\x03\x04 truncated garbage")
+    rebuilt = load_visuelle2(synthetic_dataset, "train", demand=False,
+                             output_len=1)
+    np.testing.assert_array_equal(rebuilt.X, arrays.X)
+    np.testing.assert_array_equal(rebuilt.gtrends, arrays.gtrends)
+
+    d12 = load_visuelle2(synthetic_dataset, "test", demand=True, output_len=12)
+    d6 = load_visuelle2(synthetic_dataset, "test", demand=True, output_len=6)
+    assert d12.output_len == 12 and d6.output_len == 6
+    np.testing.assert_array_equal(d6.ts, d12.ts)

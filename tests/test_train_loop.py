@@ -582,3 +582,49 @@ def test_dedup_accum_tensor_parallel_compose(synthetic_dataset):
         if len(losses) == 2:
             break
     assert losses and np.all(np.isfinite(losses))
+
+
+def test_checkpoint_read_only_contract(tmp_path):
+    """``read_only=True`` (the forecast/export/serve + resume-source mode)
+    must restore from an existing directory without creating or mutating
+    anything — archived checkpoints on read-only mounts — and must refuse
+    both saves and nonexistent directories loudly."""
+    import os
+
+    from flax import core
+
+    from visuelle2_tpu.train.checkpoint import CheckpointManager
+    from visuelle2_tpu.train.loop import TrainState
+
+    def st(v):
+        return TrainState(step=jnp.asarray(v, jnp.int32),
+                          params=core.FrozenDict({"w": jnp.full((2,), float(v))}),
+                          batch_stats=core.FrozenDict(),
+                          opt_state={"m": jnp.zeros((2,))}, tx=None)
+
+    with pytest.raises(FileNotFoundError):
+        CheckpointManager(str(tmp_path / "missing"), read_only=True)
+
+    writer = CheckpointManager(str(tmp_path / "ck"))
+    writer.save(0, st(3), {"val_wWAPE": 1.0, "val_mae": 1.0})
+    writer.close()
+
+    ro = CheckpointManager(str(tmp_path / "ck"), read_only=True)
+    assert float(ro.restore(st(0)).params["w"][0]) == 3.0
+    restored, start, skip = ro.restore_latest(st(0))
+    assert float(restored.params["w"][0]) == 3.0 and start == 1 and skip == 0
+    with pytest.raises(ValueError, match="read_only"):
+        ro.save(1, st(4), {"val_wWAPE": 0.5, "val_mae": 0.5})
+    with pytest.raises(ValueError, match="read_only"):
+        ro.save_preempted(1, st(4))
+    ro.close()
+
+    # A save_last=False-era directory (no last/ subtree): read_only open
+    # must not create one.
+    old = CheckpointManager(str(tmp_path / "old"), save_last=False)
+    old.save(0, st(9), {"val_wWAPE": 1.0, "val_mae": 1.0})
+    old.close()
+    ro2 = CheckpointManager(str(tmp_path / "old"), read_only=True)
+    assert float(ro2.restore(st(0)).params["w"][0]) == 9.0
+    ro2.close()
+    assert not os.path.isdir(str(tmp_path / "old" / "last"))

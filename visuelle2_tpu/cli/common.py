@@ -172,7 +172,13 @@ def prepare_initial_state(trainer, loaders, args):
         resume_dir = args.ckpt_dir if auto else args.resume_from
         if state is None:
             state = trainer.init_state(next(iter(loaders["train"])))
-        src = CheckpointManager(resume_dir)
+        try:
+            src = CheckpointManager(resume_dir, read_only=True)
+        except FileNotFoundError as e:
+            if not auto:
+                raise SystemExit(f"--resume_from: {e}")
+            print(f"--resume_from auto: {resume_dir} empty, starting fresh")
+            return state, start_epoch, skip_steps
         try:
             # Prefers the ``last`` slot: the true latest state (top-k
             # retention may have deleted every epoch after the best one),

@@ -100,7 +100,7 @@ def run(args):
     trainer = Trainer(model, TrainConfig())
     state = trainer.init_state(batch)
     root, step = resolve_ckpt_path(args.ckpt_path)
-    ckpt = CheckpointManager(root)
+    ckpt = CheckpointManager(root, read_only=True)
     state = ckpt.restore_for_eval(state, step=step)
     ckpt.close()
 

@@ -48,7 +48,7 @@ def run(args):
     state = trainer.init_state(next(iter(loaders["test"])))
     if args.ckpt_path:
         root, step = resolve_ckpt_path(args.ckpt_path)
-        ckpt = CheckpointManager(root)
+        ckpt = CheckpointManager(root, read_only=True)
         # Partial restore (params + batch_stats): forecast doesn't need —
         # and must not have to reconstruct — the training opt_state.
         state = ckpt.restore_for_eval(state, step=step)

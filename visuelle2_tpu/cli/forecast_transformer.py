@@ -31,7 +31,7 @@ def run(args):
     state = trainer.init_state(next(iter(loaders["test"])))
     if args.ckpt_path:
         root, step = resolve_ckpt_path(args.ckpt_path)
-        ckpt = CheckpointManager(root)
+        ckpt = CheckpointManager(root, read_only=True)
         # Partial restore: forecast doesn't know (or need) the training-time
         # optimizer structure (grad-clip chain etc.).
         state = ckpt.restore_for_eval(state, step=step)

@@ -77,9 +77,9 @@ class Visuelle2Arrays:
         return Visuelle2Arrays(
             demand=self.demand,
             output_len=self.output_len,
-            cat=self.cat[:n], col=self.col[:n], fab=self.fab[:n],
-            store=self.store[:n], temporal=self.temporal[:n],
-            gtrends=self.gtrends[:n], image_paths=self.image_paths[:n],
+            cat=take(self.cat), col=take(self.col), fab=take(self.fab),
+            store=take(self.store), temporal=take(self.temporal),
+            gtrends=take(self.gtrends), image_paths=take(self.image_paths),
             X=take(self.X), y=take(self.y), ts=take(self.ts),
             split_idx=take(self.split_idx),
         )
@@ -270,17 +270,23 @@ def load_visuelle2(dataset_path: str, split: str, *, demand: bool,
     analogue of the reference's ``.pt`` cache, ``dataset.py:39-45``)."""
     cache_path = os.path.join(dataset_path, _cache_key(split, demand, output_len, trend_len))
     if use_cache and os.path.isfile(cache_path):
-        with np.load(cache_path, allow_pickle=True) as z:
-            return Visuelle2Arrays(
-                demand=bool(z["demand"]), output_len=int(z["output_len"]),
-                cat=z["cat"], col=z["col"], fab=z["fab"], store=z["store"],
-                temporal=z["temporal"], gtrends=z["gtrends"],
-                image_paths=z["image_paths"],
-                X=z["X"] if "X" in z else None,
-                y=z["y"] if "y" in z else None,
-                ts=z["ts"] if "ts" in z else None,
-                split_idx=z["split_idx"] if "split_idx" in z else None,
-            )
+        try:
+            with np.load(cache_path, allow_pickle=True) as z:
+                return Visuelle2Arrays(
+                    demand=bool(z["demand"]),
+                    # The requested horizon, not the cached one: demand
+                    # arrays are horizon-independent and share a cache key.
+                    output_len=output_len,
+                    cat=z["cat"], col=z["col"], fab=z["fab"], store=z["store"],
+                    temporal=z["temporal"], gtrends=z["gtrends"],
+                    image_paths=z["image_paths"],
+                    X=z["X"] if "X" in z else None,
+                    y=z["y"] if "y" in z else None,
+                    ts=z["ts"] if "ts" in z else None,
+                    split_idx=z["split_idx"] if "split_idx" in z else None,
+                )
+        except Exception:
+            pass  # truncated/corrupt cache (interrupted write) -> rebuild
 
     sales_df = pd.read_csv(
         os.path.join(dataset_path, f"stfore_{split}.csv"), parse_dates=["release_date"])
@@ -303,5 +309,9 @@ def load_visuelle2(dataset_path: str, split: str, *, demand: bool,
             v = getattr(arrays, k)
             if v is not None:
                 payload[k] = v
-        np.savez(cache_path, **payload)
+        # Atomic: an interrupted (or concurrently racing) first run must not
+        # leave a truncated npz at the path os.path.isfile() trusts.
+        tmp = f"{cache_path}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, cache_path)
     return arrays

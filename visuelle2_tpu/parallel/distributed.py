@@ -39,10 +39,20 @@ def initialize(coordinator_address: Optional[str] = None,
     tests/conftest.py — env mutation is too late under sitecustomize).
     """
     if cpu_devices_per_process:
+        import re
+
         flags = os.environ.get("XLA_FLAGS", "")
         want = f"--xla_force_host_platform_device_count={cpu_devices_per_process}"
-        if "xla_force_host_platform_device_count" not in flags:
+        m = re.search(r"xla_force_host_platform_device_count=(\d+)", flags)
+        if m is None:
             os.environ["XLA_FLAGS"] = (flags + " " + want).strip()
+        elif int(m.group(1)) != cpu_devices_per_process:
+            # The flag in the environment would silently win over the
+            # requested count and build a different-sized topology.
+            raise ValueError(
+                f"XLA_FLAGS already forces {m.group(1)} host devices but "
+                f"cpu_devices_per_process={cpu_devices_per_process} was "
+                f"requested — unset the flag or pass a matching count")
 
     import jax
 
@@ -73,12 +83,18 @@ def make_hybrid_mesh(model: int = 1, devices: Optional[Sequence] = None):
     devices = list(devices if devices is not None else jax.devices())
     nproc = jax.process_count()
     per = len(devices) // nproc
-    assert per * nproc == len(devices) and per % model == 0, (
-        f"{len(devices)} devices / {nproc} processes not divisible by model={model}")
+    # Real raises, not asserts (python -O strips them): a wrong topology
+    # here silently breaks global_batch's contiguous-row-block contract.
+    if per * nproc != len(devices) or per % model != 0:
+        raise ValueError(
+            f"{len(devices)} devices / {nproc} processes not divisible by "
+            f"model={model}")
     arr = np.asarray(devices).reshape(nproc, per // model, model)
     for p in range(nproc):
-        assert all(d.process_index == arr[p].flat[0].process_index
-                   for d in arr[p].flat), "devices not process-major"
+        if not all(d.process_index == arr[p].flat[0].process_index
+                   for d in arr[p].flat):
+            raise ValueError("devices not process-major: the dcn axis would "
+                             "cross process boundaries")
     return Mesh(arr, axis_names=("dcn", "data", "model"))
 
 

@@ -27,7 +27,8 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     n = len(devices)
     if data is None:
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    if data * model != n:  # a real raise: python -O strips asserts
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 

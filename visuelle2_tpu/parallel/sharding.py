@@ -1,10 +1,13 @@
 """Parameter sharding rules (tensor parallelism over the ``model`` axis).
 
 Greenfield relative to the reference (it has no parallelism, SURVEY.md §2.4).
-Rule: 2-D kernels whose output dim is wide enough and divisible by the model
-axis shard that dim (column parallel); embedding tables shard the feature dim.
-Everything else replicates.  XLA inserts the all-gathers/reduce-scatters over
-ICI — no explicit collectives in model code.
+Rule: any kernel with ndim >= 2 (Dense matrices, conv kernels, attention
+DenseGenerals, embedding tables) whose TRAILING dim is wide enough
+(``min_shard_dim``) and divisible by the model axis shards that dim — column
+parallel for matmuls, output-channel parallel for convs, feature parallel
+for embeddings.  Everything else (biases, norm scales, narrow kernels)
+replicates.  XLA inserts the all-gathers/reduce-scatters over ICI — no
+explicit collectives in model code.
 """
 
 from __future__ import annotations

@@ -51,22 +51,35 @@ def _payload(state):
 class CheckpointManager:
     def __init__(self, directory: str, *, save_top_k: int = 2,
                  monitor: str = "val_wWAPE", mode: str = "min",
-                 save_last: bool = True):
+                 save_last: bool = True, read_only: bool = False):
+        """``read_only=True`` for restore-only flows (forecast/export/serve
+        CLIs, resume sources): nothing is created or mutated — an archived
+        checkpoint on a read-only mount restores fine, and shipped artifact
+        directories don't grow empty ``last/`` subtrees.  Raises
+        FileNotFoundError when the directory doesn't exist."""
         directory = os.path.abspath(directory)
-        os.makedirs(directory, exist_ok=True)
+        self.read_only = bool(read_only)
+        if read_only:
+            if not os.path.isdir(directory):
+                raise FileNotFoundError(
+                    f"{directory}: no such checkpoint directory")
+        else:
+            os.makedirs(directory, exist_ok=True)
         self.monitor = monitor
         options = ocp.CheckpointManagerOptions(
             max_to_keep=save_top_k,
             best_fn=lambda m: m[monitor],
             best_mode=mode,
+            read_only=read_only,
         )
         self._mgr = ocp.CheckpointManager(directory, options=options)
         self.directory = directory
         self._last = None
-        if save_last:
+        last_dir = os.path.join(directory, "last")
+        if save_last and (not read_only or os.path.isdir(last_dir)):
             self._last = ocp.CheckpointManager(
-                os.path.join(directory, "last"),
-                options=ocp.CheckpointManagerOptions(max_to_keep=1))
+                last_dir, options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, read_only=read_only))
 
     def _save_last(self, state, fit_epoch: int, fit_skip: int = 0):
         payload = dict(_payload(state), fit_epoch=np.asarray(fit_epoch, np.int32),
@@ -85,6 +98,8 @@ class CheckpointManager:
         self._last.wait_until_finished()
 
     def save(self, epoch: int, state, metrics: Dict[str, float]):
+        if self.read_only:  # orbax would silently no-op the save
+            raise ValueError("CheckpointManager is read_only")
         self._mgr.save(
             epoch, args=ocp.args.StandardSave(_payload(state)),
             metrics={k: float(v) for k, v in metrics.items() if k != "epoch"})
@@ -108,6 +123,8 @@ class CheckpointManager:
         step-folded)."""
         if self._last is None:
             raise ValueError("save_preempted requires save_last=True")
+        if self.read_only:
+            raise ValueError("CheckpointManager is read_only")
         self._save_last(state, fit_epoch=epoch, fit_skip=steps_into_epoch)
 
     def best_step(self) -> Optional[int]:
@@ -182,14 +199,20 @@ class CheckpointManager:
                 try:
                     restored = self._last.restore(
                         step, args=ocp.args.StandardRestore(template))
-                except ValueError:
+                except ValueError as first:
                     # Last slot written before ``fit_skip`` existed: orbax
                     # rejects a template key the on-disk tree lacks.  Retry
                     # without it; those saves were epoch-complete or
-                    # re-run-the-epoch preemption saves, i.e. skip 0.
+                    # re-run-the-epoch preemption saves, i.e. skip 0.  Chain
+                    # the original error so a GENUINE template/checkpoint
+                    # mismatch (different model/optimizer config) isn't
+                    # hidden behind a misleading second failure.
                     template.pop("fit_skip")
-                    restored = self._last.restore(
-                        step, args=ocp.args.StandardRestore(template))
+                    try:
+                        restored = self._last.restore(
+                            step, args=ocp.args.StandardRestore(template))
+                    except ValueError:
+                        raise first from None
                     restored["fit_skip"] = 0
                 return (self._apply(state, restored),
                         int(restored["fit_epoch"]),
