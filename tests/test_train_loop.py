@@ -249,7 +249,12 @@ def test_resume_trains_only_remaining_epochs(synthetic_dataset, tmp_path):
     assert ckpt.latest_step() == 1
     ckpt.close()
 
-    t2 = Trainer(model, TrainConfig(epochs=4, batch_size=16, learning_rate=1e-2))
+    # Same trainer object (same compiled steps): only the epoch budget
+    # changes for the resumed run — epochs is a host-side loop bound, not
+    # part of the compiled program.
+    t2 = t1
+    t2.config.epochs = 4
+    t2.history.clear()
     fresh = t2.init_state(next(iter(train_loader)))
     src = CheckpointManager(str(tmp_path / "ck"))
     restored, start_epoch, skip = src.restore_latest(fresh)

@@ -7,10 +7,7 @@ analysis — exact for the compiled program, no tracing hooks.
 
 from __future__ import annotations
 
-import time
-from typing import Callable, Optional
-
-import jax
+from typing import Optional
 
 
 def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
@@ -63,25 +60,9 @@ def flops_per_sample(jitted_fn, batch_size: int, *args, **kwargs):
         return None
     return total / batch_size / 1e9
 
-
-class Timer:
-    """Wall-clock bracketing (train_dl.py:172-182) with block_until_ready."""
-
-    def __enter__(self):
-        self.t0 = time.perf_counter()
-        return self
-
-    def __exit__(self, *exc):
-        self.elapsed = time.perf_counter() - self.t0
-        return False
-
-
-def throughput(fn: Callable, batch, *, warmup: int = 2, iters: int = 10) -> float:
-    """Steady-state executions/sec of ``fn(batch)`` (blocks on results)."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(batch))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(batch)
-    jax.block_until_ready(out)
-    return iters / (time.perf_counter() - t0)
+# NOTE: no generic repeated-dispatch ``throughput()`` helper lives here on
+# purpose — per-dispatch timing on the axon relay is unsound (identical
+# dispatches dedupe, independent ones overlap, block_until_ready can return
+# early).  Throughput is measured only via the single-scan-with-fetch-barrier
+# methodology: bench.py, eval/forecast.py::score_split's timed scan, and the
+# scripts/perf_*.py family (CLAUDE.md "Benchmark integrity").
