@@ -110,3 +110,27 @@ def test_two_process_hybrid_mesh_matches_single_process():
     sums = {k: float(v) for k, v in trainer.eval_step(state, gb).items()}
     for k, v in r0["eval_sums"].items():
         np.testing.assert_allclose(sums[k], v, rtol=1e-4)
+
+
+def test_initialize_rejects_conflicting_device_count_flag():
+    """The conftest pins XLA_FLAGS to 8 host devices; requesting a different
+    cpu_devices_per_process must raise BEFORE touching the runtime — the
+    env flag would silently win and build a different-sized topology
+    (distributed.py::initialize)."""
+    from visuelle2_tpu.parallel.distributed import initialize
+
+    assert "xla_force_host_platform_device_count=8" in os.environ["XLA_FLAGS"]
+    with pytest.raises(ValueError, match="already forces 8"):
+        initialize(coordinator_address="127.0.0.1:1",
+                   num_processes=2, process_id=0,
+                   cpu_devices_per_process=4)
+
+
+def test_make_hybrid_mesh_rejects_bad_topology():
+    """Topology validation must be a real raise (python -O strips asserts):
+    a model axis that doesn't divide the per-process device count would
+    silently break global_batch's contiguous-row-block contract."""
+    from visuelle2_tpu.parallel.distributed import make_hybrid_mesh
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_hybrid_mesh(model=3)  # 8 devices / 1 process, 8 % 3 != 0
