@@ -57,76 +57,85 @@ def _rt_floor():
     return _RT
 
 
-def measure_eval(model, variables, base, dup, iters, rng):
+def _stack_batches(iters, seed0, dup):
+    """[iters, ...] stack of FULLY DISTINCT dedup batches: every field varies
+    per scan step (not just the images), so XLA cannot hoist the non-image
+    encoders out of the timed scan as loop-invariant — the same rule bench.py
+    follows (CLAUDE.md benchmark integrity).  At high duplication the image
+    backbone is only a fraction of the step, so a hoisted trend/sales/text
+    encoder would overstate dedup throughput noticeably."""
     import jax
+
+    from __graft_entry__ import _synthetic_batch
 
     slots = -(-BATCH // dup)
     img_idx = (np.arange(BATCH) // dup).astype(np.int32)
-    feed = dict(base, img_idx=jax.device_put(img_idx))
+    steps = []
+    for i in range(iters):
+        b = dict(_synthetic_batch(BATCH, IMAGE, seed=seed0 + i))
+        b["images"] = np.asarray(b["images"])[:slots]
+        b["img_idx"] = img_idx
+        steps.append(b)
+    return slots, jax.tree_util.tree_map(lambda *xs: np.stack(xs), *steps)
+
+
+def measure_eval(model, variables, dup, iters, seed0):
+    import jax
 
     @jax.jit
-    def scan_batches(variables, feed, image_stack):
-        def body(_, images_t):
-            f, _aux = model.apply(
-                variables, dict(feed, images=images_t), train=False)
+    def scan_batches(variables, batch_stack):
+        def body(_, batch_t):
+            f, _aux = model.apply(variables, batch_t, train=False)
             return 0, f
-        _, fs = jax.lax.scan(body, 0, image_stack)
+        _, fs = jax.lax.scan(body, 0, batch_stack)
         return fs
 
-    warm = jax.device_put(rng.integers(
-        0, 255, (iters, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
-    timed = jax.device_put(rng.integers(
-        0, 255, (iters, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
-    np.asarray(scan_batches(variables, feed, warm))
+    slots, warm = _stack_batches(iters, seed0 + 10_000, dup)
+    _, timed = _stack_batches(iters, seed0 + 20_000, dup)
+    warm, timed = jax.device_put(warm), jax.device_put(timed)
+    np.asarray(scan_batches(variables, warm))
     t0 = time.perf_counter()
-    np.asarray(scan_batches(variables, feed, timed))
+    np.asarray(scan_batches(variables, timed))
     dt = (time.perf_counter() - t0 - _rt_floor()) / iters
     return {"slots": slots, "ms_per_batch": round(dt * 1e3, 2),
             "forecasts_per_sec_per_chip": round(BATCH / dt, 1)}
 
 
-def measure_train(model, trainer, base, dup, iters, rng):
+def measure_train(model, trainer, dup, iters, seed0):
     import jax
 
     from visuelle2_tpu.train.loop import expand_mask, mse_loss, target_and_pred
 
-    slots = -(-BATCH // dup)
-    batch = dict(base, img_idx=(np.arange(BATCH) // dup).astype(np.int32),
-                 images=np.asarray(base["images"])[:slots])
-    state = trainer.init_state(batch)
-
     @jax.jit
-    def scan_train(state, batch, image_stack):
-        def body(state, images_t):
-            b = dict(batch, images=images_t)
-
+    def scan_train(state, batch_stack):
+        def body(state, batch_t):
             def loss_fn(params):
                 variables = {"params": params,
                              "batch_stats": state.batch_stats}
                 (f, _aux), mut = model.apply(
-                    variables, b, train=True,
+                    variables, batch_t, train=True,
                     rngs={"dropout": jax.random.key(0),
                           "sampling": jax.random.key(1)},
                     mutable=["batch_stats"])
-                target, pred = target_and_pred(b, f)
-                return mse_loss(target, pred, expand_mask(b, target)), \
+                target, pred = target_and_pred(batch_t, f)
+                return mse_loss(target, pred, expand_mask(batch_t, target)), \
                     mut["batch_stats"]
 
             (loss, stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(grads, stats), loss
 
-        return jax.lax.scan(body, state, image_stack)
+        return jax.lax.scan(body, state, batch_stack)
 
-    warm = jax.device_put(rng.integers(
-        0, 255, (iters, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
-    timed = jax.device_put(rng.integers(
-        0, 255, (iters, slots, IMAGE, IMAGE, 3)).astype(np.uint8))
-    batch = jax.device_put(batch)
-    state2, losses = scan_train(state, batch, warm)
+    slots, warm = _stack_batches(iters, seed0 + 30_000, dup)
+    _, timed = _stack_batches(iters, seed0 + 40_000, dup)
+    state = trainer.init_state(
+        jax.tree_util.tree_map(lambda x: x[0], warm))
+    warm, timed = jax.device_put(warm), jax.device_put(timed)
+    state2, losses = scan_train(state, warm)
     np.asarray(losses)
     t0 = time.perf_counter()
-    _, losses = scan_train(state2, batch, timed)
+    _, losses = scan_train(state2, timed)
     np.asarray(losses)
     dt = (time.perf_counter() - t0 - _rt_floor()) / iters
     return {"slots": slots, "step_ms": round(dt * 1e3, 1),
@@ -158,20 +167,17 @@ def main():
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         base, train=False)
     variables = jax.device_put(variables)
-    base_dev = {k: jax.device_put(v) for k, v in base.items()
-                if k != "images"}
 
-    rng = np.random.default_rng(7)
     record = {"label": opts.label, "batch": BATCH, "image": IMAGE,
               "eval": {}, "train": {}}
-    for dup in opts.dups:
+    for di, dup in enumerate(opts.dups):
         record["eval"][f"dup{dup}"] = measure_eval(
-            model, variables, base_dev, dup, opts.eval_iters, rng)
+            model, variables, dup, opts.eval_iters, seed0=100_000 * di)
         print(json.dumps({f"eval dup{dup}": record["eval"][f"dup{dup}"]}),
               flush=True)
-    for dup in opts.dups:
+    for di, dup in enumerate(opts.dups):
         record["train"][f"dup{dup}"] = measure_train(
-            model, trainer, base, dup, opts.train_iters, rng)
+            model, trainer, dup, opts.train_iters, seed0=100_000 * (di + 8))
         print(json.dumps({f"train dup{dup}": record["train"][f"dup{dup}"]}),
               flush=True)
 
