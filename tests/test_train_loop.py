@@ -633,3 +633,43 @@ def test_checkpoint_read_only_contract(tmp_path):
     assert float(ro2.restore(st(0)).params["w"][0]) == 9.0
     ro2.close()
     assert not os.path.isdir(str(tmp_path / "old" / "last"))
+
+
+def test_async_epoch_save_is_donation_safe_and_drained_on_read(tmp_path):
+    """Epoch saves return before the disk commit (checkpoint.py::save) —
+    training overlaps the write.  Two contracts must hold: (1) the state is
+    SNAPSHOTTED before save() returns, so the caller donating/clobbering the
+    same buffers on the next train step cannot corrupt the checkpoint; (2)
+    every read path drains in-flight commits first, so a save is immediately
+    visible to best_step/restore/restore_latest."""
+    from flax import core
+
+    from visuelle2_tpu.train.checkpoint import CheckpointManager
+    from visuelle2_tpu.train.loop import TrainState
+
+    def mkstate(v):
+        params = {f"d{i}": {"kernel": jnp.full((512, 512), float(v))}
+                  for i in range(12)}
+        return TrainState(step=jnp.asarray(0, jnp.int32),
+                          params=core.FrozenDict(params),
+                          batch_stats=core.FrozenDict(),
+                          opt_state={"m": jnp.zeros((2,))}, tx=None)
+
+    ck = CheckpointManager(str(tmp_path / "ck"), save_top_k=2)
+    s = mkstate(5)
+    ck.save(0, s, {"val_wWAPE": 1.0, "val_mae": 1.0})
+    # Donate + clobber the saved state's buffers right away, exactly what
+    # the next compiled train step does to the donated TrainState.
+    clobber = jax.jit(
+        lambda t: jax.tree_util.tree_map(lambda x: x * 0 + 777.0, t),
+        donate_argnums=0)
+    s2 = clobber(s)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+
+    assert ck.best_step() == 0  # read paths drain the in-flight commit
+    restored = ck.restore(mkstate(0), step=0)
+    assert float(restored.params["d0"]["kernel"][0, 0]) == 5.0
+    restored, start, skip = ck.restore_latest(mkstate(0))
+    assert start == 1 and skip == 0
+    assert float(restored.params["d0"]["kernel"][0, 0]) == 5.0
+    ck.close()

@@ -95,20 +95,30 @@ class CheckpointManager:
         prev = self._last.latest_step()
         key = 0 if prev is None else prev + 1
         self._last.save(key, args=ocp.args.StandardSave(payload))
-        self._last.wait_until_finished()
 
     def save(self, epoch: int, state, metrics: Dict[str, float]):
+        """Async epoch save: returns once the state is copied OUT of the
+        (donated) training buffers; the disk commit proceeds in the
+        background, overlapping the next epoch's training (measured 5-16 s
+        blocked per epoch at ResNet-101 scale otherwise).  Orbax itself
+        serializes back-to-back saves on one manager, and every read path
+        below drains first — the only semantic change is that a hard kill
+        in the seconds after save() returns can lose THAT epoch's save
+        (the previously committed one survives; preemption/autosave saves
+        stay fully blocking because the process may exit right after)."""
         if self.read_only:  # orbax would silently no-op the save
             raise ValueError("CheckpointManager is read_only")
         self._mgr.save(
             epoch, args=ocp.args.StandardSave(_payload(state)),
             metrics={k: float(v) for k, v in metrics.items() if k != "epoch"})
         if self._last is not None:
-            # Epoch complete: a resume continues at the NEXT epoch.  Kicked
-            # off before waiting on the top-k save so the two async orbax
-            # writes overlap.
             self._save_last(state, fit_epoch=epoch + 1)
+
+    def wait_until_finished(self):
+        """Drain in-flight async saves (both managers)."""
         self._mgr.wait_until_finished()
+        if self._last is not None:
+            self._last.wait_until_finished()
 
     def save_preempted(self, epoch: int, state, steps_into_epoch: int = 0):
         """Emergency save at a STEP boundary inside ``epoch`` (graceful
@@ -126,8 +136,11 @@ class CheckpointManager:
         if self.read_only:
             raise ValueError("CheckpointManager is read_only")
         self._save_last(state, fit_epoch=epoch, fit_skip=steps_into_epoch)
+        # Fully durable before returning: the caller may exit(143) next.
+        self._last.wait_until_finished()
 
     def best_step(self) -> Optional[int]:
+        self.wait_until_finished()
         return self._mgr.best_step()
 
     def best_metric(self) -> Optional[Tuple[int, float]]:
@@ -136,6 +149,7 @@ class CheckpointManager:
         Lets a resumed ``fit`` rebuild its early-stopping bookkeeping (the
         best-so-far monitor and how many epochs ago it happened) instead of
         resetting it — the best epoch always survives the top-k GC."""
+        self.wait_until_finished()
         step = self._mgr.best_step()
         if step is None:
             return None
@@ -151,6 +165,7 @@ class CheckpointManager:
         surviving top-k EPOCH.  Use ``restore_latest`` for resume — it
         reads the recorded ``fit_epoch``/``fit_skip`` instead of
         interpreting this key."""
+        self.wait_until_finished()
         if self._last is not None:
             step = self._last.latest_step()
             if step is not None:
@@ -174,6 +189,7 @@ class CheckpointManager:
 
     def restore(self, state, step: Optional[int] = None):
         """Restore into an existing TrainState template (shapes/dtypes)."""
+        self.wait_until_finished()
         step = step if step is not None else self.best_step()
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(_payload(state)))
@@ -190,6 +206,7 @@ class CheckpointManager:
         slot (true latest — the top-k retention may have deleted every
         epoch after the best one); falls back to the newest SURVIVING
         top-k checkpoint for pre-``save_last`` directory layouts."""
+        self.wait_until_finished()
         if self._last is not None:
             step = self._last.latest_step()
             if step is not None:
@@ -232,6 +249,7 @@ class CheckpointManager:
         the one saved at train time (e.g. the transformer family's grad-clip
         chain); at forecast time the optimizer config isn't known, so we do a
         partial restore that omits opt_state/step entirely."""
+        self.wait_until_finished()
         step = step if step is not None else self.best_step()
         template = {"params": state.params}
         if state.batch_stats:
