@@ -79,6 +79,18 @@ def _stack_batches(iters, seed0, dup):
     return slots, jax.tree_util.tree_map(lambda *xs: np.stack(xs), *steps)
 
 
+def _calibrate_iters(probe_ms, probe_iters, dup, target_s, max_stack_gb):
+    """Scan length giving ~``target_s`` of device time per timed dispatch
+    (CLAUDE.md: amortize the ~28 ms relay floor over a long-enough scan).
+    Capped so the stacked image inputs stay under ``max_stack_gb`` (warm and
+    timed stacks are both device-resident)."""
+    slots = -(-BATCH // dup)
+    bytes_per_step = slots * IMAGE * IMAGE * 3  # uint8 images dominate
+    mem_cap = max(probe_iters, int(max_stack_gb * 2**30 // bytes_per_step))
+    want = int(target_s * 1e3 / max(probe_ms, 1e-3))
+    return max(probe_iters, min(want, mem_cap, 512))
+
+
 def measure_eval(model, variables, dup, iters, seed0):
     import jax
 
@@ -147,10 +159,24 @@ def main():
     ap.add_argument("--label", type=str, required=True,
                     help="series label for this record, e.g. r3")
     ap.add_argument("--dups", type=int, nargs="+", default=[1, 4, 10])
-    ap.add_argument("--eval_iters", type=int, default=40)
-    ap.add_argument("--train_iters", type=int, default=10)
+    ap.add_argument("--eval_iters", type=int, default=8,
+                    help="probe scan length; the timed scan is re-calibrated "
+                         "to ~--target_device_s of device time")
+    ap.add_argument("--train_iters", type=int, default=4,
+                    help="probe scan length for the train measurements")
+    ap.add_argument("--target_device_s", type=float, default=1.5)
+    ap.add_argument("--max_stack_gb", type=float, default=1.5)
     ap.add_argument("--out", type=str, default=SERIES_PATH)
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke mode: tiny backbone/shapes, validates "
+                         "every code path (incl. calibration) without TPU")
     opts = ap.parse_args()
+
+    global BATCH, IMAGE
+    if opts.tiny:
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
+        BATCH, IMAGE = 8, 64
 
     import jax
     import jax.numpy as jnp
@@ -160,7 +186,8 @@ def main():
     from visuelle2_tpu.train.loop import TrainConfig, Trainer
 
     model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
-                  image_arch="resnet101", image_dtype=jnp.bfloat16)
+                  image_arch="tiny" if opts.tiny else "resnet101",
+                  image_dtype=jnp.bfloat16)
     trainer = Trainer(model, TrainConfig(batch_size=BATCH, grad_clip=0.5))
     base = _synthetic_batch(BATCH, IMAGE, seed=1)
     variables = model.init(
@@ -171,15 +198,27 @@ def main():
     record = {"label": opts.label, "batch": BATCH, "image": IMAGE,
               "eval": {}, "train": {}}
     for di, dup in enumerate(opts.dups):
-        record["eval"][f"dup{dup}"] = measure_eval(
+        probe = measure_eval(
             model, variables, dup, opts.eval_iters, seed0=100_000 * di)
-        print(json.dumps({f"eval dup{dup}": record["eval"][f"dup{dup}"]}),
-              flush=True)
+        iters = _calibrate_iters(probe["ms_per_batch"], opts.eval_iters, dup,
+                                 opts.target_device_s, opts.max_stack_gb)
+        if iters > opts.eval_iters:
+            probe = measure_eval(model, variables, dup, iters,
+                                 seed0=100_000 * di + 50)
+        probe["iters"] = iters
+        record["eval"][f"dup{dup}"] = probe
+        print(json.dumps({f"eval dup{dup}": probe}), flush=True)
     for di, dup in enumerate(opts.dups):
-        record["train"][f"dup{dup}"] = measure_train(
+        probe = measure_train(
             model, trainer, dup, opts.train_iters, seed0=100_000 * (di + 8))
-        print(json.dumps({f"train dup{dup}": record["train"][f"dup{dup}"]}),
-              flush=True)
+        iters = _calibrate_iters(probe["step_ms"], opts.train_iters, dup,
+                                 opts.target_device_s, opts.max_stack_gb)
+        if iters > opts.train_iters:
+            probe = measure_train(model, trainer, dup, iters,
+                                  seed0=100_000 * (di + 8) + 50)
+        probe["iters"] = iters
+        record["train"][f"dup{dup}"] = probe
+        print(json.dumps({f"train dup{dup}": probe}), flush=True)
 
     series = []
     if os.path.isfile(opts.out):
