@@ -2,9 +2,10 @@
 
 Measures forecasts/sec/chip for every benchmark task's model at reference
 dims (512-dim CrossAttnRNN family, 32/64 GTM family, ResNet-101 @299 bf16),
-using the same sound methodology as bench.py (one jitted lax.scan over
-distinct image batches, fetch barrier, the relay's ~28 ms dispatch round
-trip amortized over the scan AND subtracted — see perf_roofline.py).
+using the same sound methodology as bench.py: one jitted lax.scan over
+FULLY DISTINCT per-step batches (every field varies per step, so no encoder
+is loop-invariant/hoistable), fetch barrier, the relay's ~28 ms dispatch
+round trip amortized over the scan AND subtracted — see perf_roofline.py.
 Writes docs/bench_all_models.json.
 """
 
@@ -69,10 +70,22 @@ def _rt_floor():
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke mode: tiny backbone/shapes, validates "
+                         "every code path without TPU hardware (no JSON)")
+    opts = ap.parse_args()
+    global BATCH, ITERS, IMAGE
+    arch = "resnet101"
+    if opts.tiny:
+        jax.config.update("jax_platforms", "cpu")
+        BATCH, ITERS, IMAGE, arch = 4, 3, 64, "tiny"
+
     results = {}
     rt = _rt_floor()
     for name, (kw, make_batch) in CONFIGS.items():
-        model = build(name, vocab=VOCAB, image_arch="resnet101",
+        model = build(name, vocab=VOCAB, image_arch=arch,
                       image_dtype=jnp.bfloat16, **kw)
         batch = make_batch(0)
         variables = model.init(
@@ -80,28 +93,29 @@ def main():
             batch, train=False)
 
         @jax.jit
-        def scan_batches(variables, batch, image_stack):
-            def body(_, images_t):
-                f, _aux = model.apply(variables, dict(batch, images=images_t),
-                                      train=False)
+        def scan_batches(variables, batch_stack):
+            def body(_, batch_t):
+                f, _aux = model.apply(variables, batch_t, train=False)
                 return 0, f
-            _, fs = jax.lax.scan(body, 0, image_stack)
+            _, fs = jax.lax.scan(body, 0, batch_stack)
             return fs
 
         @jax.jit
         def single(variables, batch):
             return model.apply(variables, batch, train=False)[0]
 
-        rng = np.random.default_rng(11)
-        mk = lambda: rng.integers(0, 255, (ITERS, BATCH, IMAGE, IMAGE, 3)).astype(np.uint8)
+        def mk(seed0):
+            steps = [make_batch(seed0 + i) for i in range(ITERS)]
+            return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *steps)
+
         variables = jax.device_put(variables)
         batch = jax.device_put(batch)
-        d_warm = jax.device_put(mk())
-        d_timed = jax.device_put(mk())
+        d_warm = jax.device_put(mk(1_000))
+        d_timed = jax.device_put(mk(2_000))
         gflops = compiled_flops(single, variables, batch)
-        np.asarray(scan_batches(variables, batch, d_warm))
+        np.asarray(scan_batches(variables, d_warm))
         t0 = time.perf_counter()
-        np.asarray(scan_batches(variables, batch, d_timed))
+        np.asarray(scan_batches(variables, d_timed))
         dt = (time.perf_counter() - t0 - rt) / ITERS
         fps = BATCH / dt
         results[name] = {
@@ -114,8 +128,9 @@ def main():
         # Free device memory between models.
         del d_warm, d_timed, variables, batch
 
-    with open(os.path.join(REPO, "docs", "bench_all_models.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    if not opts.tiny:  # smoke numbers are not a record
+        with open(os.path.join(REPO, "docs", "bench_all_models.json"), "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
