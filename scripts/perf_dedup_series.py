@@ -154,6 +154,23 @@ def measure_train(model, trainer, dup, iters, seed0):
             "train_samples_per_sec_per_chip": round(BATCH / dt, 1)}
 
 
+def _measure_with_backoff(measure, min_iters, iters, *args, **kw):
+    """Run ``measure`` at the calibrated scan length, halving it on device
+    OOM (RESOURCE_EXHAUSTED) until it fits — a too-short scan only costs
+    floor-amortization precision (and the floor is subtracted anyway), a
+    too-long one kills the whole series run."""
+    while True:
+        try:
+            probe = measure(iters=iters, *args, **kw)
+            probe["iters"] = iters
+            return probe
+        except Exception as e:  # jax.errors.JaxRuntimeError has no stable api
+            if "RESOURCE_EXHAUSTED" not in str(e) or iters <= min_iters:
+                raise
+            iters = max(min_iters, iters // 2)
+            print(json.dumps({"oom_backoff_to_iters": iters}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--label", type=str, required=True,
@@ -165,7 +182,11 @@ def main():
     ap.add_argument("--train_iters", type=int, default=4,
                     help="probe scan length for the train measurements")
     ap.add_argument("--target_device_s", type=float, default=1.5)
-    ap.add_argument("--max_stack_gb", type=float, default=1.5)
+    # 1.0 GiB per stack (warm + timed both device-resident) measured safe on
+    # the relay chip; 1.5 GiB OOM'd at d=10 with ~2 GB of ResNet-101@299
+    # activations alive — the usable HBM headroom is smaller than the
+    # nominal 16 GB.  _measure_with_backoff halves the scan on OOM anyway.
+    ap.add_argument("--max_stack_gb", type=float, default=1.0)
     ap.add_argument("--out", type=str, default=SERIES_PATH)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke mode: tiny backbone/shapes, validates "
@@ -195,17 +216,22 @@ def main():
         base, train=False)
     variables = jax.device_put(variables)
 
+    mem = getattr(jax.devices()[0], "memory_stats", lambda: None)() or {}
     record = {"label": opts.label, "batch": BATCH, "image": IMAGE,
+              "hbm_limit_gb": round(mem.get("bytes_limit", 0) / 2**30, 2),
               "eval": {}, "train": {}}
+    print(json.dumps({"hbm_limit_gb": record["hbm_limit_gb"]}), flush=True)
     for di, dup in enumerate(opts.dups):
         probe = measure_eval(
             model, variables, dup, opts.eval_iters, seed0=100_000 * di)
         iters = _calibrate_iters(probe["ms_per_batch"], opts.eval_iters, dup,
                                  opts.target_device_s, opts.max_stack_gb)
         if iters > opts.eval_iters:
-            probe = measure_eval(model, variables, dup, iters,
-                                 seed0=100_000 * di + 50)
-        probe["iters"] = iters
+            probe = _measure_with_backoff(
+                lambda iters, s: measure_eval(model, variables, dup, iters, s),
+                opts.eval_iters, iters, s=100_000 * di + 50)
+        else:
+            probe["iters"] = opts.eval_iters
         record["eval"][f"dup{dup}"] = probe
         print(json.dumps({f"eval dup{dup}": probe}), flush=True)
     for di, dup in enumerate(opts.dups):
@@ -214,9 +240,11 @@ def main():
         iters = _calibrate_iters(probe["step_ms"], opts.train_iters, dup,
                                  opts.target_device_s, opts.max_stack_gb)
         if iters > opts.train_iters:
-            probe = measure_train(model, trainer, dup, iters,
-                                  seed0=100_000 * (di + 8) + 50)
-        probe["iters"] = iters
+            probe = _measure_with_backoff(
+                lambda iters, s: measure_train(model, trainer, dup, iters, s),
+                opts.train_iters, iters, s=100_000 * (di + 8) + 50)
+        else:
+            probe["iters"] = opts.train_iters
         record["train"][f"dup{dup}"] = probe
         print(json.dumps({f"train dup{dup}": probe}), flush=True)
 
