@@ -1,0 +1,64 @@
+"""Pure-host units of the perf measurement scripts (scripts/perf_*.py).
+
+The measurement methodology itself can only be validated on hardware
+(CLAUDE.md "Benchmark integrity"), but the calibration arithmetic and the
+OOM backoff are plain Python — a wrong bound here silently records a
+mis-measured series or kills an hour-long TPU batch run.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "perf_dedup_series",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scripts", "perf_dedup_series.py"))
+pds = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(pds)
+
+
+def test_calibrate_iters_targets_device_time():
+    # 10 ms/step, 2 s target -> 200 steps (memory cap not binding).
+    assert pds._calibrate_iters(10.0, 8, 1, 2.0, 100.0) == 200
+
+
+def test_calibrate_iters_memory_cap_binds():
+    # d=1: one step's images = 128 * 299^2 * 3 B ~ 34.3 MB; a 1 GiB cap
+    # allows 31 steps even though the time target wants far more.
+    got = pds._calibrate_iters(1.0, 8, 1, 2.0, 1.0)
+    assert got == int(1.0 * 2**30 // (128 * 299 * 299 * 3))
+
+
+def test_calibrate_iters_never_below_probe_and_never_above_512():
+    assert pds._calibrate_iters(1000.0, 8, 1, 2.0, 100.0) == 8
+    assert pds._calibrate_iters(0.001, 8, 10, 2.0, 100.0) == 512
+
+
+def test_measure_with_backoff_halves_on_oom_only():
+    calls = []
+
+    def measure(iters, s):
+        calls.append(iters)
+        if iters > 100:
+            raise RuntimeError("TPU backend error (RESOURCE_EXHAUSTED).")
+        return {"ms": 1.0}
+
+    probe = pds._measure_with_backoff(measure, 8, 400, s=0)
+    assert calls == [400, 200, 100]
+    assert probe == {"ms": 1.0, "iters": 100}
+
+    # A non-OOM failure propagates immediately (no silent retry loop).
+    def broken(iters, s):
+        raise RuntimeError("INVALID_ARGUMENT: shape mismatch")
+
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        pds._measure_with_backoff(broken, 8, 400, s=0)
+
+    # OOM at the probe floor is terminal, not an infinite loop.
+    def always_oom(iters, s):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        pds._measure_with_backoff(always_oom, 8, 8, s=0)
