@@ -52,14 +52,30 @@ def _rt_once(noop, d0):
 
 
 def main():
+    # Smoke mode (VIS2_BENCH_SMOKE=1): run the identical measurement logic
+    # on CPU with a tiny model/batch — validates the harness end-to-end
+    # without claiming the TPU tunnel.  Never used for recorded numbers.
+    smoke = os.environ.get("VIS2_BENCH_SMOKE") == "1"
+
     import jax
+
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_batch
     from visuelle2_tpu.models import VocabSizes, build
 
-    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
-                  image_arch="resnet101", image_dtype=jnp.bfloat16)
+    global BATCH, IMAGE, ITERS
+    if smoke:
+        BATCH, IMAGE, ITERS = 8, 32, 3
+        model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126),
+                      output_len=12, image_arch="tiny", embedding_dim=16,
+                      hidden_dim=16, image_dtype=jnp.bfloat16)
+    else:
+        model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126),
+                      output_len=12, image_arch="resnet101",
+                      image_dtype=jnp.bfloat16)
     batch = _synthetic_batch(BATCH, IMAGE, seed=1)
     variables = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},

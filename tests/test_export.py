@@ -503,6 +503,17 @@ def test_http_server_maps_fault_classes_to_status_codes():
             client.forecast(good)
         state["fail"] = False  # the same request succeeds again
         np.testing.assert_allclose(client.forecast(good), good["x"] * 2.0)
+        # A request with no Content-Length is permanently malformed -> 400
+        # (not a retryable 503; int(None) used to TypeError into the 503
+        # branch).  http.client always sets the header, so go raw.
+        import socket
+
+        with socket.create_connection(
+                ("127.0.0.1", srv.server_address[1]), timeout=10) as s:
+            s.sendall(b"POST /forecast HTTP/1.1\r\n"
+                      b"Host: x\r\nConnection: close\r\n\r\n")
+            status = s.makefile("rb").readline()
+        assert b" 400 " in status, status
     finally:
         srv.shutdown()
         srv.batcher.close()

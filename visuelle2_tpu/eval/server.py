@@ -297,7 +297,13 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
             if self.path != "/forecast":
                 return self._send(404, b"not found", "text/plain")
             try:
-                raw = self.rfile.read(int(self.headers["Content-Length"]))
+                length = self.headers["Content-Length"]
+                if length is None:
+                    # int(None) would raise TypeError, which the generic
+                    # handler below maps to a RETRYABLE 503 — but a request
+                    # without Content-Length is permanently malformed.
+                    raise ValueError("missing Content-Length header")
+                raw = self.rfile.read(int(length))
                 with np.load(io.BytesIO(raw)) as z:
                     arrays = {k: z[k] for k in z.files}
                 out = run_batch(arrays)
