@@ -1,5 +1,7 @@
 """Serving-export round trip: StableHLO artifact == live model."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -517,3 +519,117 @@ def test_http_server_maps_fault_classes_to_status_codes():
     finally:
         srv.shutdown()
         srv.batcher.close()
+
+
+def test_drain_and_close_finishes_inflight_then_refuses_new():
+    """Graceful drain: after the accept loop stops, drain_and_close
+    refuses NEW connections immediately (listening socket closed) while
+    the in-flight request still completes with a real 200 response."""
+    import socket
+    import threading
+
+    from visuelle2_tpu.eval.client import ForecastClient
+    from visuelle2_tpu.eval.server import drain_and_close, make_server
+
+    release = threading.Event()
+
+    def fn(batch):
+        release.wait(timeout=30)
+        return np.asarray(batch["x"]) * 2.0
+
+    header = {"keys": ["mask", "x"], "shapes": {"mask": [8], "x": [8, 2]},
+              "dtypes": {"mask": "float32", "x": "float32"}}
+    srv = make_server(fn, header, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    client = ForecastClient(f"http://127.0.0.1:{port}")
+    req = {"mask": np.ones(2, np.float32), "x": np.ones((2, 2), np.float32)}
+
+    result = {}
+
+    def post():
+        result["out"] = client.forecast(req)
+
+    poster = threading.Thread(target=post)
+    poster.start()
+    deadline = time.monotonic() + 30
+    while srv.inflight() < 1:  # request is being served
+        assert time.monotonic() < deadline, "request never became in-flight"
+        time.sleep(0.01)
+
+    srv.shutdown()  # accept loop exits (serve loop is in another thread)
+    drainer = threading.Thread(target=drain_and_close, args=(srv, 30.0))
+    drainer.start()
+    deadline = time.monotonic() + 30
+    while True:  # server_close() takes effect -> connections refused
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=5):
+                pass
+        except ConnectionRefusedError:
+            break
+        assert time.monotonic() < deadline, "new connections still accepted"
+        time.sleep(0.02)
+
+    assert "out" not in result  # drain is WAITING on the in-flight request
+    release.set()
+    poster.join(timeout=30)
+    drainer.join(timeout=30)
+    assert not drainer.is_alive()
+    np.testing.assert_allclose(result["out"], req["x"] * 2.0)
+    assert not srv.batcher._worker.is_alive()  # batcher closed by drain
+
+
+def test_http_server_sigterm_drains_and_exits_143(tmp_path):
+    """Live SIGTERM against a real server process: the in-flight request
+    gets its 200 response during the grace window and the process exits
+    143 (the trainer's PreemptionWatch convention)."""
+    import signal
+    import subprocess
+    import sys
+    import threading
+
+    from visuelle2_tpu.eval.client import ForecastClient
+
+    script = r"""
+import time
+import numpy as np
+from visuelle2_tpu.eval.server import serve_forever
+
+def fn(batch):
+    time.sleep(2.5)  # long enough for SIGTERM to land mid-request
+    return np.asarray(batch["x"]) * 3.0
+
+header = {"keys": ["mask", "x"], "shapes": {"mask": [8], "x": [8, 2]},
+          "dtypes": {"mask": "float32", "x": "float32"}}
+serve_forever(fn, header, 0, grace_s=30.0)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()  # "serving on :PORT (...)"
+        port = int(line.split(":", 1)[1].split()[0])
+        client = ForecastClient(f"http://127.0.0.1:{port}")
+        req = {"mask": np.ones(2, np.float32),
+               "x": np.ones((2, 2), np.float32)}
+        result = {}
+
+        def post():
+            result["out"] = client.forecast(req)
+
+        poster = threading.Thread(target=post)
+        poster.start()
+        deadline = time.monotonic() + 30
+        while True:  # wait until the request is in flight server-side
+            health = client.health()
+            if health["inflight"] >= 1:
+                break
+            assert time.monotonic() < deadline
+            time.sleep(0.02)
+        proc.send_signal(signal.SIGTERM)
+        poster.join(timeout=60)
+        assert not poster.is_alive()
+        np.testing.assert_allclose(result["out"], req["x"] * 3.0)
+        assert proc.wait(timeout=60) == 143
+    finally:
+        proc.kill()
+        proc.stdout.close()

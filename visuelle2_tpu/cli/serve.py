@@ -28,7 +28,8 @@ def run(args):
         # Artifact-only inference server — no dataset, no model code.
         from visuelle2_tpu.eval.server import serve_forever
 
-        return serve_forever(fn, header, args.http)
+        return serve_forever(fn, header, args.http,
+                             grace_s=args.drain_grace_s)
     demand = bool(args.demand)
     output_len = 12 if demand else args.output_len
     dedup = "img_idx" in header["keys"]
@@ -85,6 +86,10 @@ def build_parser():
                    help="serve the artifact over HTTP on this port instead "
                         "of scoring a split (POST /forecast npz -> npz, "
                         "GET /health)")
+    p.add_argument("--drain_grace_s", type=float, default=10.0,
+                   help="--http only: on SIGTERM (preemption/rollout), stop "
+                        "accepting immediately and give in-flight requests "
+                        "this many seconds to finish before exiting 143")
     return p
 
 

@@ -33,7 +33,9 @@ from __future__ import annotations
 
 import io
 import json
+import signal
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -228,7 +230,7 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
     # responses must be sliced per SAMPLE, not per output row.
     batch_rows = shapes.get("mask", (0,))[0]
     dedup = "img_idx" in keys
-    stats = {"requests": 0, "dedup_dispatches": 0}
+    stats = {"requests": 0, "dedup_dispatches": 0, "inflight": 0}
     stats_lock = threading.Lock()
     batcher = None if dedup else MicroBatcher(forecast_fn, keys, shapes,
                                               header.get("dtypes"))
@@ -290,12 +292,22 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
                 "dispatches": batcher.dispatches if batcher else
                 stats["dedup_dispatches"],
                 "batched": batcher is not None,
+                "inflight": stats["inflight"],
             }).encode()
             self._send(200, body, "application/json")
 
         def do_POST(self):
             if self.path != "/forecast":
                 return self._send(404, b"not found", "text/plain")
+            with stats_lock:
+                stats["inflight"] += 1
+            try:
+                self._forecast()
+            finally:
+                with stats_lock:
+                    stats["inflight"] -= 1
+
+        def _forecast(self):
             try:
                 length = self.headers["Content-Length"]
                 if length is None:
@@ -323,17 +335,62 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
 
     srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     srv.batcher = batcher  # tests / shutdown hook
+    srv.inflight = lambda: stats["inflight"]  # drain_and_close hook
     return srv
 
 
-def serve_forever(forecast_fn, header, port: int):
+def drain_and_close(srv, grace_s: float = 10.0) -> None:
+    """Stop accepting, let in-flight requests finish, release the device.
+
+    Call AFTER the accept loop has exited (``srv.shutdown()`` or a
+    ``serve_forever`` return).  Closes the listening socket immediately —
+    new connections are refused, so load balancers fail over — then waits
+    up to ``grace_s`` seconds for in-flight handler threads to write their
+    responses before closing the MicroBatcher.  Handler threads are
+    daemons: a client that stalls past the grace window cannot block
+    process exit.
+    """
+    srv.server_close()
+    deadline = time.monotonic() + grace_s
+    while srv.inflight() > 0 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    if srv.batcher is not None:
+        srv.batcher.close()
+
+
+def serve_forever(forecast_fn, header, port: int, grace_s: float = 10.0):
+    """Serve until SIGTERM/SIGINT, then drain and exit.
+
+    The reference has no serving story at all; a production TPU VM is
+    preemptible, so the server mirrors the trainer's PreemptionWatch
+    convention (train/loop.py): on SIGTERM it stops accepting immediately,
+    gives in-flight requests ``grace_s`` seconds to complete, and exits
+    143 so orchestrators distinguish a drained preemption from a crash.
+    """
     srv = make_server(forecast_fn, header, port)
+    got_sig = []
+
+    def _on_sigterm(signum, frame):
+        got_sig.append(signum)
+        # shutdown() blocks until the serve loop (this thread) exits —
+        # must run off-thread or it deadlocks the signal handler.
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    try:
+        prev = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (embedded use): no handler
+        prev = None
     print(f"serving on :{srv.server_address[1]} "
-          f"(POST /forecast, GET /health)")
+          f"(POST /forecast, GET /health)", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
-        srv.shutdown()
+        pass
     finally:
-        if srv.batcher is not None:
-            srv.batcher.close()
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
+        drain_and_close(srv, grace_s)
+    if got_sig:
+        print("SIGTERM: drained in-flight requests, exiting 143",
+              flush=True)
+        raise SystemExit(143)
