@@ -633,3 +633,54 @@ serve_forever(fn, header, 0, grace_s=30.0)
     finally:
         proc.kill()
         proc.stdout.close()
+
+
+def test_client_retries_transient_faults_with_backoff():
+    """retries=N re-sends on 503s and connection failures (forecasting is
+    pure, so re-sending is always safe) and never re-sends a permanent
+    400."""
+    import threading
+
+    from visuelle2_tpu.eval.client import ForecastClient, ServerError
+    from visuelle2_tpu.eval.server import make_server
+
+    state = {"fails_left": 2, "calls": 0}
+
+    def fn(batch):
+        state["calls"] += 1
+        if state["fails_left"] > 0:
+            state["fails_left"] -= 1
+            raise RuntimeError("device hiccup")
+        return np.asarray(batch["x"]) * 2.0
+
+    header = {"keys": ["mask", "x"], "shapes": {"mask": [8], "x": [8, 2]},
+              "dtypes": {"mask": "float32", "x": "float32"}}
+    srv = make_server(fn, header, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    client = ForecastClient(f"http://127.0.0.1:{srv.server_address[1]}",
+                            retries=3, backoff_s=0.01)
+    req = {"mask": np.ones(2, np.float32), "x": np.ones((2, 2), np.float32)}
+    try:
+        # Two 503s, then success on the third attempt — within budget.
+        np.testing.assert_allclose(client.forecast(req), req["x"] * 2.0)
+        assert state["calls"] == 3
+        # A permanent 400 is raised immediately, never re-sent.
+        before = state["calls"]
+        with pytest.raises(ServerError, match="missing keys"):
+            client.forecast({"mask": req["mask"]})
+        assert state["calls"] == before
+    finally:
+        srv.shutdown()
+        srv.server_close()  # refuse connections (shutdown only stops accept)
+        srv.batcher.close()
+
+    # Connection-level failure (nobody listening, e.g. mid-restart):
+    # retried, then the real error surfaces once the budget is spent.
+    import urllib.error
+
+    dead = ForecastClient(f"http://127.0.0.1:{srv.server_address[1]}",
+                          timeout=5, retries=1, backoff_s=0.01)
+    t0 = time.monotonic()
+    with pytest.raises((urllib.error.URLError, ConnectionError)):
+        dead.forecast(req)
+    assert time.monotonic() - t0 >= 0.01  # at least one backoff happened

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import json
+import time
 import urllib.error
 import urllib.request
 from typing import Dict
@@ -37,9 +38,21 @@ class TransientServerError(RuntimeError):
 
 
 class ForecastClient:
-    def __init__(self, base_url: str, timeout: float = 120.0):
+    """``retries`` re-attempts (with ``backoff_s * 2**attempt`` sleeps)
+    cover the RETRYABLE fault classes only: 503s (device hiccup, shutdown
+    race) and connection-level failures (refused/reset during a rolling
+    restart or preemption drain, read timeouts).  Forecasting is pure —
+    the server holds no per-request state — so re-sending after ANY of
+    those, including a timeout where the reply was lost, is safe.
+    Permanent 400s never retry.  Default ``retries=0`` raises on the
+    first fault, matching the bare protocol."""
+
+    def __init__(self, base_url: str, timeout: float = 120.0,
+                 retries: int = 0, backoff_s: float = 0.5):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.retries = int(retries)
+        self.backoff_s = backoff_s
 
     def health(self) -> dict:
         """Server signature: batch keys/shapes, requests/dispatches counters
@@ -55,14 +68,22 @@ class ForecastClient:
         eval scripts (forecast_dl.py:176-198)."""
         buf = io.BytesIO()
         np.savez(buf, **{k: np.asarray(v) for k, v in batch.items()})
-        req = urllib.request.Request(f"{self.base_url}/forecast",
-                                     data=buf.getvalue(), method="POST")
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                return np.load(io.BytesIO(r.read()))["forecast"]
-        except urllib.error.HTTPError as e:
-            if e.code == 400:
-                raise ServerError(e.read().decode()) from None
-            if e.code == 503:
-                raise TransientServerError(e.read().decode()) from None
-            raise
+        data = buf.getvalue()
+        for attempt in range(self.retries + 1):
+            req = urllib.request.Request(f"{self.base_url}/forecast",
+                                         data=data, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    return np.load(io.BytesIO(r.read()))["forecast"]
+            except urllib.error.HTTPError as e:
+                if e.code == 400:
+                    raise ServerError(e.read().decode()) from None
+                if e.code != 503:
+                    raise  # unclassified HTTP error: treat as permanent
+                err = TransientServerError(e.read().decode())
+            except (urllib.error.URLError, ConnectionError,
+                    TimeoutError) as e:
+                err = e  # refused/reset/timed out: retryable (pure call)
+            if attempt == self.retries:
+                raise err from None
+            time.sleep(self.backoff_s * (2.0 ** attempt))
