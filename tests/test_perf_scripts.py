@@ -62,3 +62,25 @@ def test_measure_with_backoff_halves_on_oom_only():
 
     with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
         pds._measure_with_backoff(always_oom, 8, 8, s=0)
+
+
+def test_bench_smoke_mode_emits_driver_json_line():
+    """VIS2_BENCH_SMOKE=1 runs bench.py's EXACT measurement logic (distinct
+    per-step scan, floor subtraction, JSON contract) on CPU with a tiny
+    model — the one rail that can catch a broken bench harness before the
+    driver burns a TPU tunnel claim on it."""
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, VIS2_BENCH_SMOKE="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py")], env=env, cwd=root,
+        capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "demand_forecasts_per_sec_per_chip"
+    assert rec["unit"] == "forecasts/s/chip"
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
