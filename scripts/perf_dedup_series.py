@@ -82,11 +82,13 @@ def _stack_batches(iters, seed0, dup):
 def _calibrate_iters(probe_ms, probe_iters, dup, target_s, max_stack_gb):
     """Scan length giving ~``target_s`` of device time per timed dispatch
     (CLAUDE.md: amortize the ~28 ms relay floor over a long-enough scan).
-    Capped so the stacked image inputs stay under ``max_stack_gb`` (warm and
-    timed stacks are both device-resident)."""
+    Capped so the stacked image inputs stay under ``max_stack_gb`` TOTAL:
+    the warm and timed stacks are both device-resident, so the per-stack
+    budget is half the flag value (keeps the flag's name honest)."""
     slots = -(-BATCH // dup)
     bytes_per_step = slots * IMAGE * IMAGE * 3  # uint8 images dominate
-    mem_cap = max(probe_iters, int(max_stack_gb * 2**30 // bytes_per_step))
+    mem_cap = max(probe_iters,
+                  int(max_stack_gb * 2**30 // (2 * bytes_per_step)))
     want = int(target_s * 1e3 / max(probe_ms, 1e-3))
     return max(probe_iters, min(want, mem_cap, 512))
 

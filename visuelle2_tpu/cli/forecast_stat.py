@@ -25,7 +25,17 @@ def run(args):
     fn = model.jitted()
 
     gt, forecasts = [], []
+    warned_holt = False
     for batch in loaders["test"]:
+        if args.method == "holt" and not warned_holt:
+            T = batch["X"].shape[-1]
+            if T > 2:
+                print(f"[forecast_stat] note: holt with window length {T} > 2 "
+                      "uses a fixed-init (alpha,beta) SSE-grid fit — an "
+                      "approximation of statsmodels' free-MLE Holt (bounded "
+                      "at 8% of series max; ops/stats.py). The production "
+                      "2-step windows are exact.")
+            warned_holt = True
         n = int(batch["mask"].sum())
         y_hat = np.asarray(fn(batch["X"]))[:n]
         forecasts.append(y_hat.squeeze())

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import json
+import socket
 import time
 import urllib.error
 import urllib.request
@@ -83,6 +84,11 @@ class ForecastClient:
                 err = TransientServerError(e.read().decode())
             except (urllib.error.URLError, ConnectionError,
                     TimeoutError) as e:
+                reason = getattr(e, "reason", None)
+                if isinstance(reason, socket.gaierror):
+                    # DNS resolution failure: a misconfigured base_url —
+                    # permanent; don't burn the backoff budget retrying it.
+                    raise
                 err = e  # refused/reset/timed out: retryable (pure call)
             if attempt == self.retries:
                 raise err from None

@@ -230,7 +230,8 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
     # responses must be sliced per SAMPLE, not per output row.
     batch_rows = shapes.get("mask", (0,))[0]
     dedup = "img_idx" in keys
-    stats = {"requests": 0, "dedup_dispatches": 0, "inflight": 0}
+    stats = {"requests": 0, "dedup_dispatches": 0, "inflight": 0,
+             "open_conns": 0}
     stats_lock = threading.Lock()
     batcher = None if dedup else MicroBatcher(forecast_fn, keys, shapes,
                                               header.get("dtypes"))
@@ -333,9 +334,32 @@ def make_server(forecast_fn, header, port: int = 0) -> ThreadingHTTPServer:
                 self._send(503, f"{type(e).__name__}: {e}".encode(),
                            "text/plain")
 
-    srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    class Server(ThreadingHTTPServer):
+        # Drain coverage starts at socket ACCEPT, not at request dispatch:
+        # a connection accepted just before server_close() whose handler is
+        # still parsing the request line/headers hasn't touched
+        # stats["inflight"] yet and would be invisible to the drain wait.
+        # process_request runs synchronously on the accept thread before the
+        # handler thread spawns; shutdown_request runs in the handler
+        # thread's finally — together they bracket the whole connection
+        # lifetime (HTTP/1.0 default: one request per connection).
+        def process_request(self, request, client_address):
+            with stats_lock:
+                stats["open_conns"] += 1
+            super().process_request(request, client_address)
+
+        def shutdown_request(self, request):
+            try:
+                super().shutdown_request(request)
+            finally:
+                with stats_lock:
+                    stats["open_conns"] -= 1
+
+    srv = Server(("0.0.0.0", port), Handler)
     srv.batcher = batcher  # tests / shutdown hook
-    srv.inflight = lambda: stats["inflight"]  # drain_and_close hook
+    # drain_and_close hook: open CONNECTIONS, not dispatched requests —
+    # covers accepted-but-not-yet-parsed requests (see Server above).
+    srv.inflight = lambda: stats["open_conns"]
     return srv
 
 

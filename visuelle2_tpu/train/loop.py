@@ -512,7 +512,11 @@ class Trainer:
                         log_fn(metrics)
                     return state
             metrics = self.evaluate(state, val_loader)
-            metrics.update(epoch=epoch, wall_s=time.time() - t0)
+            metrics.update(epoch=epoch, wall_s=time.time() - t0,
+                           # Reference parity: the per-epoch Adafactor LR
+                           # (CrossAttnRNN210.py:278-286) in console + JSONL.
+                           lr=optim_lib.current_lr(int(state.step),
+                                                   self.config.learning_rate))
             if losses:
                 metrics["train_loss"] = train_loss
             patience = self.config.early_stop_patience

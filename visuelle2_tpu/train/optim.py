@@ -51,6 +51,23 @@ def adafactor(grad_clip: Optional[float] = None,
     return tx
 
 
+def current_lr(step: int, learning_rate=None) -> float:
+    """Learning rate applied at the most recent optimizer update.
+
+    The reference prints the running Adafactor LR every validation epoch
+    (``/root/reference/models/CrossAttnRNN210.py:278-286``) — its main
+    train-time observability signal.  Computed host-side (no device
+    dispatch): optax's schedule is evaluated with the pre-increment update
+    count, so after ``step`` completed updates the last applied LR is the
+    schedule at ``step - 1``."""
+    t = float(max(1, int(step)))  # update count of the latest step
+    if learning_rate is None:
+        return min(1e-6 * t, t ** -0.5)
+    if callable(learning_rate):
+        return float(learning_rate(t - 1.0))
+    return float(learning_rate)
+
+
 FROZEN_BACKBONE_PREFIXES = ("conv1", "bn1", "layer1_", "layer2_")
 
 
