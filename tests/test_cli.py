@@ -152,6 +152,19 @@ def test_train_then_forecast_gtm_v1_cli(synthetic_dataset, tmp_path):
     result = forecast_transformer.run(fc_args)
     assert np.isfinite(result.wape) and np.isfinite(result.mae)
 
+    # Featurizer fingerprint guard: the manifest pins which text featurizer
+    # produced the training features (here the zero-egress crc32 fallback);
+    # a host producing different features must get an error, not garbage.
+    import json
+
+    hp_path = tmp_path / "ckv1" / "hparams.json"
+    hp = json.loads(hp_path.read_text())
+    assert hp["text_fingerprint"] == "hashed-crc32-v1"
+    hp["text_fingerprint"] = "bert-base-uncased"
+    hp_path.write_text(json.dumps(hp))
+    with pytest.raises(SystemExit, match="text featurizer mismatch"):
+        forecast_transformer.run(fc_args)
+
 
 def test_score_split_one_pass_matches_batched(synthetic_dataset):
     """The single-dispatch scan over the whole split must reproduce the
@@ -201,6 +214,34 @@ def test_score_split_one_pass_matches_batched(synthetic_dataset):
         r_fallback = forecast_mod.score_split(
             model, variables, loader, mesh=mesh, measure_throughput=False)
     assert abs(r_fallback.wape - r1.wape) < 1e-3
+
+
+def test_forecast_zero_dim_flags_via_hparams(synthetic_dataset, trained_ck21):
+    """The VERDICT-2 acceptance: after a non-default-dim training (dims 16,
+    tiny arch — the trained_ck21 fixture), ``forecast_dl --ckpt_path <dir>``
+    with ZERO dim flags must rebuild the right model from hparams.json
+    instead of erroring on an orbax tree mismatch (reference:
+    load_from_checkpoint, forecast_Gated.py:67-79)."""
+    root, _best = trained_ck21
+    argv = ["--dataset_path", synthetic_dataset, "--batch_size", "16",
+            "--image_size", "32", "--ckpt_path", root]
+    result = forecast_dl.main(argv)
+    assert np.isfinite(result.wape) and np.isfinite(result.mae)
+
+    # An explicitly conflicting structural flag is an ERROR (a silently
+    # wrong-dim model when the trees happen to match would be worse).
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="hidden_dim=512 vs checkpoint"):
+        forecast_dl.main(argv + ["--hidden_dim", "512"])
+
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(root, "hparams.json")) as f:
+        hp = _json.load(f)
+    assert hp["model"] == "cross_attn_rnn_21" and hp["hidden_dim"] == 16
+    assert hp["vocab"]["num_cat"] >= 2 and hp["norm_scalar"] > 0
 
 
 def test_forecast_accepts_step_path(synthetic_dataset, trained_ck21):

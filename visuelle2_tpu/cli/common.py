@@ -119,6 +119,11 @@ def build_loaders(args, *, demand: bool, output_len: int,
             dedup_images=dedup,
             image_slots_multiple=slots_multiple if dedup else 1,
             image_slots=dedup_image_slots if dedup else 0)
+        if featurizer is not None:
+            # Which featurizer produced this split's text_features (BERT vs
+            # the crc32 fallback) — recorded into hparams.json at train time
+            # and checked at forecast time (train/hparams.py).
+            loaders[split].text_fingerprint = featurizer.fingerprint
     return loaders, vocab, norm_scalar
 
 

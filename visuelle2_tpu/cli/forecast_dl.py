@@ -18,13 +18,32 @@ from visuelle2_tpu.cli.common import add_common_args, build_loaders
 from visuelle2_tpu.eval.forecast import score_split
 from visuelle2_tpu.models import build
 from visuelle2_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_path
+from visuelle2_tpu.train.hparams import (
+    DL_STRUCTURAL,
+    apply_ckpt_hparams,
+    load_hparams,
+)
 from visuelle2_tpu.train.loop import Trainer, TrainConfig
 
 
 def run(args):
     print(args)
     demand = bool(args.new_product)
-    output_len = 12 if demand else (10 if args.task_mode == 1 else 1)
+    output_len = getattr(args, "output_len", 1)
+    if demand:
+        output_len = 12  # forecast_dl.py:223-224
+    elif output_len == 1:
+        # Flag left at its default: horizon from the checkpoint manifest
+        # when present (a nonstandard-horizon 2-10 training must decode the
+        # same scan length; load_from_checkpoint parity), else the
+        # reference's task auto-bump (forecast_dl.py:225-226).
+        hp = load_hparams(args.ckpt_path) if args.ckpt_path else None
+        if hp and "output_len" in hp:
+            output_len = int(hp["output_len"])
+            if output_len != 1:
+                print(f"[hparams] output_len={output_len} from manifest")
+        elif args.task_mode == 1:
+            output_len = 10
     loaders, vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=output_len, splits=("test",),
         dedup_eval_images=bool(getattr(args, "dedup_images", 1)))
@@ -38,9 +57,9 @@ def run(args):
         model = build("cross_attn_rnn_demand", out_len=12,
                       use_teacher_forcing=False, **dims)
     elif args.task_mode == 0:
-        model = build("cross_attn_rnn_21", out_len=1, **dims)
+        model = build("cross_attn_rnn_21", out_len=output_len, **dims)
     else:
-        model = build("cross_attn_rnn_210", out_len=10,
+        model = build("cross_attn_rnn_210", out_len=output_len,
                       use_teacher_forcing=False, **dims)
 
     # Init a template then restore checkpointed params into it.
@@ -60,9 +79,10 @@ def run(args):
     if getattr(args, "export", ""):
         from visuelle2_tpu.eval.export import export_forecaster
 
-        size = export_forecaster(model, variables,
-                                 next(iter(loaders["test"])), args.export,
-                                 quantize=getattr(args, "quantize", None))
+        size = export_forecaster(
+            model, variables, next(iter(loaders["test"])), args.export,
+            quantize=getattr(args, "quantize", None),
+            extra_header={"model": model.__class__.__name__})
         print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
     if getattr(args, "dump_attention", ""):
         from visuelle2_tpu.eval.forecast import dump_attention
@@ -103,6 +123,14 @@ def build_parser():
     p.add_argument("--hidden_dim", type=int, default=512)
     p.add_argument("--use_img", type=int, default=1)
     p.add_argument("--task_mode", type=int, default=0, help="0->2-1, 1->2-10")
+    p.add_argument("--output_len", type=int, default=1,
+                   help="forecast horizon; default auto-selects from the "
+                        "checkpoint manifest / task (demand->12, 2-10->10; "
+                        "forecast_dl.py:222-226)")
+    # Accepted for reference CLI parity (forecast_dl.py:215-216); inference
+    # never teacher-forces (the reference hardcodes it off, :113-115).
+    p.add_argument("--use_teacher_forcing", action="store_true")
+    p.add_argument("--teacher_forcing_ratio", type=float, default=0.3)
     p.add_argument("--ckpt_path", type=str, default="",
                    help="checkpoint directory written by train_dl")
     p.add_argument("--export", type=str, default="",
@@ -128,8 +156,14 @@ def build_parser():
     return p
 
 
-def main():
-    run(build_parser().parse_args())
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    # Rebuild the model configuration from the checkpoint's hparams.json:
+    # unpassed structural flags are filled from it, explicit conflicts are
+    # errors (train/hparams.py; load_from_checkpoint parity).
+    apply_ckpt_hparams(args, parser, DL_STRUCTURAL, argv)
+    return run(args)
 
 
 if __name__ == "__main__":

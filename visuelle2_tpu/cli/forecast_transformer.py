@@ -13,6 +13,11 @@ from visuelle2_tpu.cli.common import build_loaders
 from visuelle2_tpu.cli.train_transformer import make_model
 from visuelle2_tpu.eval.forecast import score_split
 from visuelle2_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_path
+from visuelle2_tpu.train.hparams import (
+    TRANSFORMER_STRUCTURAL,
+    apply_ckpt_hparams,
+    load_hparams,
+)
 from visuelle2_tpu.train.loop import Trainer, TrainConfig
 
 
@@ -25,6 +30,21 @@ def run(args):
         args, demand=demand, output_len=args.output_len, splits=("test",),
         text_features=(args.model == "gtm_v1"),
         dedup_eval_images=bool(getattr(args, "dedup_images", 1)))
+    if args.model == "gtm_v1" and args.ckpt_path:
+        # Checkpoint-compat guard: features from frozen BERT and from the
+        # zero-egress crc32 fallback are mutually garbage — a fingerprint
+        # mismatch between training (hparams.json) and this host must be an
+        # error, not a silently terrible WAPE (models/gtm_v1.py).
+        hp = load_hparams(args.ckpt_path) or {}
+        want = hp.get("text_fingerprint")
+        have = getattr(loaders["test"], "text_fingerprint", None)
+        if want and have and want != have:
+            raise SystemExit(
+                f"gtm_v1 text featurizer mismatch: the checkpoint was "
+                f"trained on '{want}' features but this host produces "
+                f"'{have}'. Provide the same featurizer (e.g. set "
+                f"VISUELLE2_BERT_PATH to a local BERT snapshot from "
+                f"scripts/convert_pretrained.py --arch bert) or retrain.")
     model = make_model(args, vocab)
 
     trainer = Trainer(model, TrainConfig(norm_scalar=norm_scalar))
@@ -43,9 +63,13 @@ def run(args):
     if getattr(args, "export", ""):
         from visuelle2_tpu.eval.export import export_forecaster
 
-        size = export_forecaster(model, variables,
-                                 next(iter(loaders["test"])), args.export,
-                                 quantize=getattr(args, "quantize", None))
+        size = export_forecaster(
+            model, variables, next(iter(loaders["test"])), args.export,
+            quantize=getattr(args, "quantize", None),
+            extra_header={"model": args.model,
+                          **({"text_fingerprint": getattr(
+                              loaders["test"], "text_fingerprint", None)}
+                             if args.model == "gtm_v1" else {})})
         print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
     if getattr(args, "dump_attention", ""):
         from visuelle2_tpu.eval.forecast import dump_attention
@@ -110,8 +134,14 @@ def build_parser(default_model="gtm"):
     return p
 
 
-def main():
-    run(build_parser().parse_args())
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    # Rebuild the model configuration from the checkpoint's hparams.json:
+    # unpassed structural flags are filled from it, explicit conflicts are
+    # errors (train/hparams.py; load_from_checkpoint parity).
+    apply_ckpt_hparams(args, parser, TRANSFORMER_STRUCTURAL, argv)
+    return run(args)
 
 
 if __name__ == "__main__":

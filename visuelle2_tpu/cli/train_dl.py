@@ -39,14 +39,17 @@ def run(args):
                 image_dtype=jnp.bfloat16 if args.bf16_backbone else jnp.float32,
                 image_remat=bool(getattr(args, "remat", False)))
     if demand:
-        model = build("cross_attn_rnn_demand", out_len=12,
+        model_name = "cross_attn_rnn_demand"
+        model = build(model_name, out_len=12,
                       use_teacher_forcing=bool(args.use_teacher_forcing),
                       teacher_forcing_ratio=args.teacher_forcing_ratio, **dims)
     elif args.task_mode == 0:
         print("Initializing Full-Feature 2-1 Model...")
-        model = build("cross_attn_rnn_21", out_len=args.output_len, **dims)
+        model_name = "cross_attn_rnn_21"
+        model = build(model_name, out_len=args.output_len, **dims)
     else:
-        model = build("cross_attn_rnn_210", out_len=args.output_len,
+        model_name = "cross_attn_rnn_210"
+        model = build(model_name, out_len=args.output_len,
                       use_teacher_forcing=bool(args.use_teacher_forcing),
                       teacher_forcing_ratio=args.teacher_forcing_ratio, **dims)
 
@@ -60,6 +63,26 @@ def run(args):
         early_stop_min_delta=getattr(args, "early_stop_min_delta", 0.0),
         learning_rate=getattr(args, "learning_rate", None) or None))
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=2)  # train_dl.py:156
+    # save_hyperparameters() parity (CrossAttnRNN21.py:106): the forecast /
+    # export CLIs rebuild the model from this manifest so non-default dims
+    # never have to be re-passed (train/hparams.py).
+    from visuelle2_tpu.train.hparams import save_hparams
+
+    save_hparams(args.ckpt_dir, {
+        "cli": "train_dl", "model": model_name,
+        "demand": int(demand), "task_mode": int(args.task_mode),
+        "output_len": int(12 if demand else args.output_len),
+        "embedding_dim": int(args.embedding_dim),
+        "attention_dim": int(args.attention_dim),
+        "hidden_dim": int(args.hidden_dim),
+        "use_img": int(args.use_img),
+        "image_arch": args.image_arch,
+        "use_teacher_forcing": int(args.use_teacher_forcing),
+        "teacher_forcing_ratio": float(args.teacher_forcing_ratio),
+        "vocab": {"num_cat": vocab.num_cat, "num_col": vocab.num_col,
+                  "num_fab": vocab.num_fab, "num_store": vocab.num_store},
+        "norm_scalar": float(norm_scalar),
+    })
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
     # Pretrained-backbone splice and/or mid-training resume (the reference

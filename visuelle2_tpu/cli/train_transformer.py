@@ -72,6 +72,32 @@ def run(args):
         early_stop_min_delta=getattr(args, "early_stop_min_delta", 0.0),
         learning_rate=getattr(args, "learning_rate", None) or None))
     ckpt = CheckpointManager(args.ckpt_dir, save_top_k=1)
+    # save_hyperparameters() parity (forecast_Gated.py:67-79 rebuilds the
+    # model from the checkpoint): forecast/export consume this manifest.
+    # For gtm_v1 it also pins WHICH text featurizer produced the training
+    # features (BERT vs the zero-egress crc32 fallback) — mixing them at
+    # forecast time scores garbage, so it's checked there.
+    from visuelle2_tpu.train.hparams import save_hparams
+
+    save_hparams(args.ckpt_dir, {
+        "cli": "train_transformer", "model": args.model,
+        "demand": int(args.demand), "output_len": int(args.output_len),
+        "embedding_dim": int(args.embedding_dim),
+        "hidden_dim": int(args.hidden_dim),
+        "num_attn_heads": int(args.num_attn_heads),
+        "num_hidden_layers": int(args.num_hidden_layers),
+        "use_img": int(args.use_img), "use_text": int(args.use_text),
+        "use_encoder_mask": int(args.use_encoder_mask),
+        "autoregressive": int(args.autoregressive),
+        "query_modality": args.query_modality,
+        "image_arch": args.image_arch,
+        "vocab": {"num_cat": vocab.num_cat, "num_col": vocab.num_col,
+                  "num_fab": vocab.num_fab, "num_store": vocab.num_store},
+        "norm_scalar": float(norm_scalar),
+        **({"text_fingerprint": getattr(loaders["train"], "text_fingerprint",
+                                        None)}
+           if args.model == "gtm_v1" else {}),
+    })
     log = JsonlLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"), wandb_args=args)
 
     from visuelle2_tpu.cli.common import prepare_initial_state

@@ -70,7 +70,8 @@ def _quantize_variables(variables, min_size: int = 4096):
 def export_forecaster(model, variables, example_batch: Dict[str, np.ndarray],
                       path: str, platforms=("cpu", "tpu"),
                       quantize: str = None,
-                      quantize_min_size: int = 4096) -> int:
+                      quantize_min_size: int = 4096,
+                      extra_header: Dict = None) -> int:
     """Serialize ``model.apply(variables, batch, train=False)`` to ``path``.
 
     Weights are closed over (baked into the module); the exported callable
@@ -104,6 +105,9 @@ def export_forecaster(model, variables, example_batch: Dict[str, np.ndarray],
         "dtypes": {k: str(np.asarray(example_batch[k]).dtype) for k in keys},
         **({"quantize": "int8", "quantized_arrays": n_q}
            if quantize == "int8" else {}),
+        # Provenance (model name, gtm_v1 text-featurizer fingerprint, ...):
+        # informational for clients via /health; never consulted by load.
+        **({"provenance": extra_header} if extra_header else {}),
     }).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)

@@ -57,6 +57,12 @@ class TextFeaturizer:
         self.inv_cat = {v: k for k, v in cat_dict.items()}
         self.inv_col = {v: k for k, v in col_dict.items()}
         self.inv_fab = {v: k for k, v in fab_dict.items()}
+        # Which featurizer actually produced the features — recorded into the
+        # trainers' hparams.json and checked at forecast/serve time: a
+        # checkpoint trained on crc32 features scores garbage on real BERT
+        # features (and vice versa), so a mismatch must be an ERROR, not a
+        # silent wrong answer.  Flips to "bert-base-uncased" below on success.
+        self.fingerprint = "hashed-crc32-v1"
         self._bert = None
         if use_bert:
             try:
@@ -71,6 +77,7 @@ class TextFeaturizer:
                     from transformers import pipeline
 
                     self._bert = pipeline("feature-extraction", model=local)
+                    self.fingerprint = "bert-base-uncased"
                     return
 
                 # On a zero-egress host huggingface otherwise burns ~40 s in
@@ -86,6 +93,7 @@ class TextFeaturizer:
                 from transformers import pipeline
 
                 self._bert = pipeline("feature-extraction", model="bert-base-uncased")
+                self.fingerprint = "bert-base-uncased"
             except Exception as e:  # zero-egress: weights not downloadable
                 print(f"[gtm_v1] BERT unavailable ({type(e).__name__}); "
                       "using deterministic hashed text features")
