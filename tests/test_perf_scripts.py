@@ -25,10 +25,13 @@ def test_calibrate_iters_targets_device_time():
 
 
 def test_calibrate_iters_memory_cap_binds():
-    # d=1: one step's images = 128 * 299^2 * 3 B ~ 34.3 MB; a 1 GiB cap
-    # allows 31 steps even though the time target wants far more.
+    # d=1: one step's images = 128 * 299^2 * 3 B ~ 34.3 MB, and BOTH the
+    # warm and timed stacks are device-resident, so a 1 GiB TOTAL cap
+    # allows 1 GiB / (2 * 34.3 MB) = 15 steps even though the time target
+    # wants far more (the advisor flagged the old per-stack reading: the
+    # flag said GB but the device held twice that).
     got = pds._calibrate_iters(1.0, 8, 1, 2.0, 1.0)
-    assert got == int(1.0 * 2**30 // (128 * 299 * 299 * 3))
+    assert got == int(1.0 * 2**30 // (2 * 128 * 299 * 299 * 3))
 
 
 def test_calibrate_iters_never_below_probe_and_never_above_512():
@@ -84,3 +87,20 @@ def test_bench_smoke_mode_emits_driver_json_line():
     assert rec["metric"] == "demand_forecasts_per_sec_per_chip"
     assert rec["unit"] == "forecasts/s/chip"
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+
+
+def test_pallas_convfloor_kernels_match_xla():
+    """Interpret-mode parity of the conv-floor probe kernels
+    (scripts/perf_pallas_convfloor.py): the bf16 M-tiled matmul matches the
+    XLA dot, the int8 kernel is exact vs integer matmul, and the
+    read-bandwidth reduction emits finite partials.  The TPU measurements
+    are hardware-only; this pins their correctness."""
+    import importlib.util as iu
+
+    spec = iu.spec_from_file_location(
+        "perf_pallas_convfloor",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "perf_pallas_convfloor.py"))
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.parity_check(interpret=True)

@@ -1,0 +1,549 @@
+"""Composed multi-step TRAINING-trajectory golden: torch vs Trainer's real
+compiled train step.
+
+The forward goldens (test_whole_model_golden.py) pin eval-mode outputs, the
+gradient goldens (test_gradient_golden.py) pin one backward at fixed params,
+and test_optimizer_parity.py pins the fairseq-Adafactor update rule in
+isolation.  None of them compose: a train-mode semantic drift — BatchNorm
+momentum / biased-vs-unbiased running variance, a schedule off-by-one, the
+teacher-forcing coin placement, dropout in the wrong phase — would slip
+through all three.  Here the SAME tiny models train for several optimizer
+steps on identical batch sequences on both sides:
+
+* torch: hand-built composition (the gradient goldens' math,
+  ``/root/reference/models/Proposed_model_v4.py:245-289`` and
+  ``CrossAttnRNN210.py:191-249``), BN modules in train mode, the frozen
+  backbone stages with ``requires_grad_(False)``
+  (``CrossAttnRNN21.py:63-65``), global-norm clip 0.5 for the transformer
+  family (``train_GTM_visuelle2.py:139``), and a torch port of the SAME
+  from-scratch fairseq-Adafactor rule test_optimizer_parity.py validates
+  (``scale_parameter=True, relative_step=True, warmup_init=True``,
+  ``CrossAttnRNN21.py:213-214``).
+* jax: ``Trainer.train_step`` — the exact compiled step ``fit`` dispatches
+  (value_and_grad over ``_train_loss`` + optax Adafactor + BN stat threading,
+  train/loop.py), seeded with the converted torch weights.
+
+Asserted per run: every step's train loss, the BatchNorm RUNNING statistics
+after N steps (momentum 0.1 + unbiased-variance update composing over
+distinct batches), and each parameter leaf's total movement (direction +
+magnitude).  Parameter movement is compared per leaf by cosine/norm, not
+elementwise: at step 1 Adafactor's update is elementwise ``g/|g|`` (β₂(1)=0),
+so elements whose true gradient is ~0 get sign-noise flips worth ±2α that are
+meaningless individually but negligible in the leaf norm.
+
+Torch MultiheadAttention is replaced by a separate-q/k/v hand-rolled MHA
+(same math) so the torch parameter granularity matches the flax tree 1:1 —
+Adafactor's parameter-scale α = max(1e-3, RMS(p)) and its update-RMS clip are
+PER PARAMETER, and torch's fused in_proj would legitimately diverge from the
+rebuild's split q/k/v leaves (same class of documented divergence as the
+factoring threshold, test_optimizer_parity.py docstring).
+
+Dropout is neutralized on both sides (flax ``nn.Dropout``/MHA prob-dropout ->
+identity via monkeypatch; the torch composition simply has none): dropout
+masks cannot be aligned across frameworks, and its *placement* is already
+covered by the train-mode TF gradient golden.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+from flax import core
+
+from tests.test_whole_model_golden import (
+    E,
+    VOCAB,
+    _additive,
+    _additive_params,
+    _backbone_variables,
+    _batch,
+    _embedding_params,
+    _normalized_images,
+    _tiny_resnet,
+)
+from tests.torch_ref import gru_params, linear_params, t2n
+from visuelle2_tpu.models import build
+from visuelle2_tpu.train import optim as optim_lib
+from visuelle2_tpu.train.loop import TrainConfig, Trainer, TrainState
+
+N_STEPS = 4
+
+
+# --------------------------------------------------------------------- torch
+class SepMHA(torch.nn.Module):
+    """Multi-head attention with SEPARATE q/k/v projections — the math of
+    ``torch.nn.MultiheadAttention`` (dropout-free), the parameter layout of
+    the flax ``ops.attention.MultiHeadAttention`` tree (1:1 leaves)."""
+
+    def __init__(self, d, nhead):
+        super().__init__()
+        self.h = nhead
+        self.q = torch.nn.Linear(d, d)
+        self.k = torch.nn.Linear(d, d)
+        self.v = torch.nn.Linear(d, d)
+        self.o = torch.nn.Linear(d, d)
+
+    def forward(self, q, k, v, attn_mask=None):  # [T, B, D] like torch MHA
+        T, B, D = q.shape
+        S = k.shape[0]
+        hd = D // self.h
+        Q = self.q(q).view(T, B, self.h, hd).permute(1, 2, 0, 3)
+        K = self.k(k).view(S, B, self.h, hd).permute(1, 2, 0, 3)
+        V = self.v(v).view(S, B, self.h, hd).permute(1, 2, 0, 3)
+        scores = Q @ K.transpose(-1, -2) / np.sqrt(hd)
+        if attn_mask is not None:
+            scores = scores + attn_mask
+        out = (torch.softmax(scores, dim=-1) @ V).permute(2, 0, 1, 3)
+        return self.o(out.reshape(T, B, D))
+
+
+def _sep_mha_params(m: SepMHA):
+    return {"q_proj": linear_params(m.q), "k_proj": linear_params(m.k),
+            "v_proj": linear_params(m.v), "out_proj": linear_params(m.o)}
+
+
+class _TorchFairseqAdafactor:
+    """The NumpyFairseqAdafactor of test_optimizer_parity.py, in torch, over
+    module parameters (non-factored: every trajectory leaf is < 128 wide, so
+    optax keeps full second moments; the factored path is pinned separately).
+    Optional global-norm clip runs FIRST, over the trainable params only —
+    mirroring ``optax.chain(clip_by_global_norm, adafactor)`` inside the
+    ``train`` partition of ``make_optimizer``."""
+
+    def __init__(self, params, clip=None):
+        self.params = [p for p in params if p.requires_grad]
+        self.v = [torch.zeros_like(p) for p in self.params]
+        self.t = 0
+        self.clip = clip
+
+    @torch.no_grad()
+    def step(self):
+        self.t += 1
+        t = self.t
+        rel_step = min(1e-6 * t, 1.0 / np.sqrt(t))
+        beta2t = 1.0 - t ** (-0.8)
+        if self.clip is not None:
+            torch.nn.utils.clip_grad_norm_(self.params, self.clip)
+        for p, v in zip(self.params, self.v):
+            if p.grad is None:
+                continue
+            g = p.grad
+            alpha = max(1e-3, float(p.pow(2).mean().sqrt())) * rel_step
+            v.mul_(beta2t).add_(g * g + 1e-30, alpha=1.0 - beta2t)
+            u = g / v.sqrt()
+            u = u / max(1.0, float(u.pow(2).mean().sqrt()))
+            p.add_(u, alpha=-alpha)
+        for p in self.params:
+            p.grad = None
+
+
+# ----------------------------------------------------------------------- jax
+def _neutralize_dropout(monkeypatch):
+    import flax.linen as fnn
+
+    from visuelle2_tpu.ops import attention as attention_mod
+
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        lambda self, inputs, deterministic=True, rng=None: inputs)
+    orig_dot = attention_mod._dot_attention
+    monkeypatch.setattr(
+        attention_mod, "_dot_attention",
+        lambda q, k, v, *, scale, mask=None, dropout_rate=0.0,
+        deterministic=True, dropout_rng=None:
+        orig_dot(q, k, v, scale=scale, mask=mask, dropout_rate=0.0,
+                 deterministic=True))
+
+
+def _single_device_trainer(model, grad_clip):
+    from visuelle2_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    return Trainer(model, TrainConfig(grad_clip=grad_clip), mesh=mesh)
+
+
+def _jax_fit(model, variables, batches, grad_clip):
+    """N real compiled train steps (the exact step ``fit`` dispatches),
+    seeded with converted torch weights.  Returns (state, per-step losses)."""
+    trainer = _single_device_trainer(model, grad_clip)
+    params = variables["params"]
+    stats = core.FrozenDict(variables.get("batch_stats", {}))
+    tx = optim_lib.make_optimizer(params, grad_clip, None)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=stats, opt_state=tx.init(params), tx=tx)
+    rng = jax.random.key(1000)  # fit's stream; inert once dropout is off
+    losses = []
+    for b in batches:
+        state, m = trainer.train_step(state, b, rng)
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def _to_jax(tree):
+    """Private device copies of a converted-weights tree.
+
+    NOT plain ``jnp.asarray``: the converters' leaves are ``t2n`` VIEWS of
+    live torch parameter memory, and jax's CPU backend zero-copies aligned
+    numpy arrays — the torch optimizer's in-place updates would then mutate
+    the \"jax\" arrays after the fact (measured: the jax trajectory started
+    from torch-final params, doubling every movement norm)."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(np.array(a)), tree)
+
+
+# ------------------------------------------------------------------ asserts
+def _flat(tree):
+    return {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+            jax.tree_util.tree_leaves_with_path(tree)}
+
+
+def _assert_trajectory(init_params, j_params, t_params, j_losses, t_losses,
+                       frozen_substr=None, noisy_grad_substr=()):
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4,
+                               err_msg="per-step train losses diverged")
+    f0, fj, ft = _flat(init_params), _flat(j_params), _flat(t_params)
+    assert set(f0) == set(fj) == set(ft)
+    moved = 0
+    for k in sorted(f0):
+        dj = (fj[k] - f0[k]).ravel()
+        dt = (ft[k] - f0[k]).ravel()
+        nj, nt = np.linalg.norm(dj), np.linalg.norm(dt)
+        if frozen_substr and any(s in k for s in frozen_substr):
+            # The freeze split must hold EXACTLY on both sides.
+            assert nj == 0.0, f"frozen leaf moved in jax: {k}"
+            assert nt == 0.0, f"frozen leaf moved in torch: {k}"
+            continue
+        if nj == 0.0 and nt == 0.0:
+            # Degenerate zero-gradient leaf on BOTH sides: e.g. the q/k
+            # projections of a length-1 self-attention (softmax over one key
+            # is constant, so their gradient is exactly zero) — legitimately
+            # unmoved.  A one-sided zero still fails below.
+            continue
+        if ("['k_proj']['bias']" in k or "['attn_linear']['bias']" in k):
+            # Softmax-invariant biases: a key-projection bias shifts every
+            # score of a given query by the same q.b, and the additive
+            # attention head's scalar bias shifts every item's score
+            # equally — softmax is INVARIANT to both, so their true
+            # gradient is exactly zero and both frameworks update them on
+            # float noise (Adafactor's g/|g| amplifies noise to full-size
+            # steps in arbitrary directions).  Direction/magnitude are
+            # meaningless; just require the movement stays at the
+            # noise-step scale (alpha ~ RMS(p) * t * 1e-6 per step: ~5e-6
+            # over 4 steps for a uniform-init bias), i.e. didn't blow up.
+            assert nj < 1e-4 and nt < 1e-4, (k, nj, nt)
+            continue
+        assert nt > 0, f"torch leaf never moved (jax did): {k}"
+        assert nj > 0, f"jax leaf never moved (torch did): {k}"
+        cos = float(np.dot(dj, dt) / (nj * nt))
+        # At step 1 Adafactor's update is exactly alpha*sign(g) elementwise
+        # (beta2(1)=0 -> u = g/|g|), so the movement cosine is ~1 - 2f where
+        # f is the fraction of elements whose gradient SIGN differs across
+        # frameworks.  The gradient golden (test_gradient_golden.py) pins
+        # every one of these leaves at atol=5e-5: any sign-flipped element
+        # has |g| below that — noise-floor gradients whose sign is a
+        # coin-flip between torch-CPU and XLA conv-backward reduction
+        # orders, amplified to full-size alpha steps.  Leaves downstream of
+        # the train-mode BN backbone (tiny 4-sample batches, mean-pooled
+        # spatial taps) carry ~4-6% such elements (seeds are fixed, so the
+        # observed cosines 0.915/0.891 are deterministic); everywhere else
+        # the flip fraction is <0.5%.
+        cos_floor = 0.85 if any(s in k for s in noisy_grad_substr) else 0.99
+        assert cos > cos_floor, \
+            f"{k}: movement direction diverged (cos={cos:.4f})"
+        assert abs(nj - nt) / nt < 0.05, \
+            f"{k}: movement magnitude diverged ({nj:.3e} vs {nt:.3e})"
+        moved += 1
+    assert moved > 10  # sanity: the comparison actually covered the model
+
+
+def _frozen_torch(cnn):
+    """Reference freeze split (CrossAttnRNN21.py:63-65): conv1/bn1/layer1/
+    layer2 frozen — matching optim.FROZEN_BACKBONE_PREFIXES."""
+    for name in ("conv1", "bn1", "layer1", "layer2"):
+        getattr(cnn, name).requires_grad_(False)
+
+
+# ===================================================================== tests
+def test_gated_v4_training_trajectory_matches_torch(monkeypatch):
+    """Flagship transformer family: BN train-mode trajectory (batch stats
+    normalizing, running stats updating with momentum 0.1 + unbiased var over
+    N distinct batches), freeze split, global-norm clip 0.5, relative-step
+    Adafactor schedule — all through the real compiled train step."""
+    _neutralize_dropout(monkeypatch)
+    torch.manual_seed(71)
+    n = 4
+    batches = [_batch(n=n, demand=True, seed=100 + i) for i in range(N_STEPS)]
+
+    cnn = _tiny_resnet()
+    projection = torch.nn.Conv2d(2048, E, 1)
+    input_linear = torch.nn.Linear(3, E)
+    enc_sa = [SepMHA(E, 4) for _ in range(2)]
+    enc_ff = [(torch.nn.Linear(E, 2048), torch.nn.Linear(2048, E))
+              for _ in range(2)]
+    enc_norm = [[torch.nn.LayerNorm(E) for _ in range(2)] for _ in range(2)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    dummy_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    dummy_fusion = torch.nn.Linear(4 * E, E)
+    img_gate = torch.nn.Linear(5 * E, E)
+    dummy_gate = torch.nn.Linear(5 * E, E)
+    fusion_fc = torch.nn.Linear(6 * E, E)
+    fusion_norm = torch.nn.LayerNorm(E)
+    dec_sa, dec_ca = SepMHA(E, 4), SepMHA(E, 4)
+    dec_ff = (torch.nn.Linear(E, 4 * E), torch.nn.Linear(4 * E, E))
+    dec_norm = [torch.nn.LayerNorm(E) for _ in range(3)]
+    decoder_fc = torch.nn.Linear(E, 12)
+
+    cnn.train()  # BN batch statistics + running-stat updates, like train=True
+    _frozen_torch(cnn)
+
+    pos = torch.zeros(52, E)
+    position = torch.arange(0, 52, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, E, 2).float() * (-np.log(10000.0) / E))
+    pos[:, 0::2] = torch.sin(position * div)
+    pos[:, 1::2] = torch.cos(position * div)
+    mask = torch.full((52, 52), float("-inf"))
+    for i in range(0, 52, 4):  # gcd(52, 12) = 4 block mask
+        mask[i:i + 4, i:i + 4] = 0.0
+
+    def forward(batch):
+        g = input_linear(torch.tensor(batch["gtrends"]).permute(0, 2, 1))
+        src = g.permute(1, 0, 2) + pos[:, None, :]
+        for sa, (l1, l2), (n1, n2) in zip(enc_sa, enc_ff, enc_norm):
+            src = n1(src + sa(src, src, src, attn_mask=mask))
+            src = n2(src + l2(torch.relu(l1(src))))
+        memory = src
+
+        h_text = torch.stack([e(torch.tensor(batch[k].astype(np.int64)))
+                              for e, k in zip(embs, ("cat", "col", "fab",
+                                                     "store"))], dim=1)
+        feats = cnn(_normalized_images(batch["images"]))
+        h_img = projection(feats).mean(dim=(2, 3))
+        d = torch.cat([l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                       for i, l in enumerate(dummy_lins)], dim=1)
+        h_dummy = dummy_fusion(d)
+        h_sales = sales_gru(torch.zeros(n, 2, 1))[0][:, -1, :]
+
+        text_flat = h_text.reshape(n, -1)
+        gi = torch.sigmoid(img_gate(torch.cat([text_flat, h_img], 1)))
+        gd = torch.sigmoid(dummy_gate(torch.cat([text_flat, h_dummy], 1)))
+        fused = torch.cat([h_img + h_img * gi, text_flat,
+                           h_dummy + h_dummy * gd], 1)
+        static_ctx = torch.relu(fusion_norm(fusion_fc(fused)))
+
+        tgt = (h_sales + static_ctx).unsqueeze(0)
+        tgt = dec_norm[0](tgt + dec_sa(tgt, tgt, tgt))
+        tgt = dec_norm[1](tgt + dec_ca(tgt, memory, memory))
+        tgt = dec_norm[2](tgt + dec_ff[1](torch.relu(dec_ff[0](tgt))))
+        return decoder_fc(tgt).transpose(0, 1).reshape(n, 12)
+
+    def param_tree():
+        rn = _backbone_variables(cnn)
+        enc_layers = {
+            f"layer{i}": {
+                "self_attn": _sep_mha_params(sa),
+                "ffn": {"linear1": linear_params(l1),
+                        "linear2": linear_params(l2)},
+                "norm1": {"scale": t2n(n1.weight), "bias": t2n(n1.bias)},
+                "norm2": {"scale": t2n(n2.weight), "bias": t2n(n2.bias)},
+            } for i, (sa, (l1, l2), (n1, n2))
+            in enumerate(zip(enc_sa, enc_ff, enc_norm))}
+        ln = lambda m: {"scale": t2n(m.weight), "bias": t2n(m.bias)}
+        return rn, {
+            "gtrend_encoder": {"input_linear": linear_params(input_linear),
+                               "encoder": enc_layers},
+            "text_encoder": {nm: _embedding_params(e)
+                             for nm, e in zip(("cat", "col", "fab", "store"),
+                                              embs)},
+            "image_encoder": {
+                "backbone": rn["params"],
+                "projection": {
+                    "kernel": np.transpose(t2n(projection.weight),
+                                           (2, 3, 1, 0)),
+                    "bias": t2n(projection.bias)},
+            },
+            "dummy_encoder": dict(
+                {nm: linear_params(l)
+                 for nm, l in zip(("day", "week", "month", "year"),
+                                  dummy_lins)},
+                fusion=linear_params(dummy_fusion)),
+            "sales_encoder": {"gru": gru_params(sales_gru)},
+            "fusion": {
+                "img_gate_fc": linear_params(img_gate),
+                "dummy_gate_fc": linear_params(dummy_gate),
+                "fusion_fc": linear_params(fusion_fc),
+                "fusion_norm": ln(fusion_norm),
+            },
+            "decoder": {"layer0": {
+                "self_attn": _sep_mha_params(dec_sa),
+                "cross_attn": _sep_mha_params(dec_ca),
+                "ffn": {"linear1": linear_params(dec_ff[0]),
+                        "linear2": linear_params(dec_ff[1])},
+                "norm1": ln(dec_norm[0]), "norm2": ln(dec_norm[1]),
+                "norm3": ln(dec_norm[2]),
+            }},
+            "decoder_fc": linear_params(decoder_fc),
+        }
+
+    rn0, params0 = param_tree()
+    init_params = jax.tree_util.tree_map(np.copy, params0)
+    variables = _to_jax({
+        "params": params0,
+        "batch_stats": {"image_encoder": {"backbone": rn0["batch_stats"]}}})
+
+    # ---- torch trajectory.
+    all_mods = ([cnn, projection, input_linear, sales_gru, dummy_fusion,
+                 img_gate, dummy_gate, fusion_fc, fusion_norm, decoder_fc]
+                + enc_sa + [m for p in enc_ff for m in p]
+                + [m for p in enc_norm for m in p] + embs + dummy_lins
+                + [dec_sa, dec_ca, *dec_ff, *dec_norm])
+    opt = _TorchFairseqAdafactor(
+        [p for m in all_mods for p in m.parameters()], clip=0.5)
+    t_losses = []
+    for b in batches:
+        pred = forward(b)
+        loss = torch.nn.functional.mse_loss(pred, torch.tensor(b["ts"]))
+        loss.backward()
+        t_losses.append(float(loss.detach()))
+        opt.step()
+
+    # ---- jax trajectory through the real compiled train step.
+    model = build("gated_v4", vocab=VOCAB, output_len=12,
+                  embedding_dim=E, hidden_dim=E, image_arch="tiny")
+    state, j_losses = _jax_fit(model, variables, batches, grad_clip=0.5)
+
+    _assert_trajectory(
+        init_params, state.params, param_tree()[1], j_losses, t_losses,
+        # Stage-precise: an inner bottleneck's own 'conv1'/'bn1' (e.g.
+        # layer3_0/conv1, trainable) must NOT match the frozen stem.
+        frozen_substr=("['backbone']['conv1']", "['backbone']['bn1']",
+                       "['backbone']['layer1_", "['backbone']['layer2_"),
+        noisy_grad_substr=("['backbone']",))
+
+    # BatchNorm RUNNING statistics after N distinct batches: momentum 0.1 +
+    # unbiased-variance update composing exactly (models/resnet.py BatchNorm
+    # vs torch.nn.BatchNorm2d in train mode).
+    want_stats = _flat(_backbone_variables(cnn)["batch_stats"])
+    got_stats = _flat(state.batch_stats["image_encoder"]["backbone"])
+    assert set(want_stats) == set(got_stats)
+    for k in sorted(want_stats):
+        # atol: by step 4 the params have sign-noise-diverged by ~1e-6 per
+        # element (see the movement check), so batch means of near-zero
+        # activations inherit a few-1e-6 absolute wobble.
+        np.testing.assert_allclose(got_stats[k], want_stats[k],
+                                   rtol=2e-4, atol=5e-6, err_msg=k)
+
+
+def test_cross_attn_rnn_210_teacher_forced_training_trajectory(monkeypatch):
+    """Scan-decode family under the real compiled step for N steps: the
+    teacher-forcing coins (ratio=1.0 -> every step consumes ground truth,
+    CrossAttnRNN210.py:216-225) and the sales-GRU-primed nn.scan decode must
+    hold up across optimizer steps, with the unclipped Adafactor of the
+    train_dl family.  use_img=False: BN trajectories are test 1's subject."""
+    _neutralize_dropout(monkeypatch)
+    torch.manual_seed(73)
+    n, W, T = 4, 1, 10
+    batches = [_batch(n=n, windows=W, horizon=T, seed=200 + i)
+               for i in range(N_STEPS)]
+
+    trend_gru = torch.nn.GRU(3, E, batch_first=True)
+    temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
+    embs = [torch.nn.Embedding(v, E)
+            for v in (VOCAB.num_cat, VOCAB.num_col, VOCAB.num_fab,
+                      VOCAB.num_store)]
+    sales_gru = torch.nn.GRU(1, E, batch_first=True)
+    self_attn = SepMHA(E, 4)
+    adds = {k: (torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, E, bias=False),
+                torch.nn.Linear(E, 1)) for k in ("ts", "mm")}
+    trend_linear = torch.nn.Linear(52 * E, E)
+    mm_embedder = torch.nn.Linear(E, E)
+    dec_gru = torch.nn.GRU(E + 1, E, batch_first=True)
+    decoder_fc = torch.nn.Linear(E, 1)
+
+    def forward(batch):
+        X = torch.tensor(batch["X"]).reshape(n * W, 2, 1)
+        y_flat = torch.tensor(batch["y"]).reshape(n * W, T)
+        trend_enc = trend_gru(
+            torch.tensor(batch["gtrends"]).permute(0, 2, 1))[0]
+        dummy = sum(l(torch.tensor(batch["temporal"][:, i:i + 1]))
+                    for i, l in enumerate(temp_lins))
+        attr = sum(e(torch.tensor(batch[k].astype(np.int64)))
+                   for e, k in zip(embs, ("cat", "col", "fab", "store")))
+        trend_sa = self_attn(*([trend_enc.permute(1, 0, 2)] * 3))
+        trend_sa = trend_sa.permute(1, 0, 2)
+
+        _, h = sales_gru(X)
+        hidden = h.squeeze(0)
+        dec_out = X[:, -1, :].unsqueeze(1)
+        outs = []
+        for t in range(T):
+            a_tr, _ = _additive(*adds["ts"], trend_sa, hidden)
+            a_tr = trend_linear(a_tr.reshape(n * W, -1))
+            mm_in = torch.stack([dummy, attr, a_tr], dim=1)
+            a_mm, _ = _additive(*adds["mm"], mm_in, hidden)
+            ctx = mm_embedder((mm_in + a_mm).sum(1))
+            x = torch.cat([ctx.unsqueeze(1), dec_out], dim=2)
+            out, h2 = dec_gru(x, hidden.unsqueeze(0))
+            hidden = h2.squeeze(0)
+            outs.append(decoder_fc(out)[:, 0, 0])
+            # TF coin true at ratio 1.0: feed the ground-truth sale.
+            dec_out = y_flat[:, t].detach()[:, None, None]
+        return torch.stack(outs, dim=1), y_flat
+
+    temp_names = ("day", "week", "month", "year")
+
+    def param_tree():
+        return {
+            "static": {
+                "trend_encoder": {"gru": gru_params(trend_gru)},
+                "temp_encoder": {nm: linear_params(l)
+                                 for nm, l in zip(temp_names, temp_lins)},
+                "attribute_encoder": {
+                    nm: _embedding_params(e)
+                    for nm, e in zip(("cat", "col", "fab", "store"), embs)},
+            },
+            "ts_self_attention": _sep_mha_params(self_attn),
+            "sales_encoder_gru": gru_params(sales_gru),
+            "decoder": {
+                "fusion": {
+                    "ts_attention": _additive_params(*adds["ts"]),
+                    "multimodal_attention": _additive_params(*adds["mm"]),
+                    "trend_linear": linear_params(trend_linear),
+                    "multimodal_embedder": linear_params(mm_embedder),
+                },
+                "decoder_cell": gru_params(dec_gru),
+                "decoder_fc": linear_params(decoder_fc),
+            },
+        }
+
+    params0 = param_tree()
+    init_params = jax.tree_util.tree_map(np.copy, params0)
+    variables = _to_jax({"params": params0})
+
+    all_mods = ([trend_gru, sales_gru, self_attn, trend_linear, mm_embedder,
+                 dec_gru, decoder_fc] + temp_lins + embs
+                + [l for v in adds.values() for l in v])
+    opt = _TorchFairseqAdafactor(
+        [p for m in all_mods for p in m.parameters()], clip=None)
+    t_losses = []
+    for b in batches:
+        pred, y_flat = forward(b)
+        loss = torch.nn.functional.mse_loss(pred, y_flat)
+        loss.backward()
+        t_losses.append(float(loss.detach()))
+        opt.step()
+
+    model = build("cross_attn_rnn_210", vocab=VOCAB, out_len=T,
+                  attention_dim=E, embedding_dim=E, hidden_dim=E,
+                  use_img=False, image_arch="tiny",
+                  use_teacher_forcing=True, teacher_forcing_ratio=1.0)
+    state, j_losses = _jax_fit(model, variables, batches, grad_clip=None)
+
+    _assert_trajectory(init_params, state.params, param_tree(),
+                       j_losses, t_losses)
