@@ -21,9 +21,15 @@ per measurement, step inputs made distinct by perturbing the (tiny) WEIGHT
 with a carry-dependent factor — the result depends on the carry, so steps
 cannot be deduped, hoisted, or overlapped, while the big A tensor stays
 loop-invariant in HBM (perturbing A itself would add a full elementwise pass
-over 368 MB and corrupt a bandwidth-bound measurement).  The carry reads only
-a 128-row slice of the output.  The ~28 ms dispatch+fetch floor is measured
-and subtracted (scripts/perf_roofline.py::_roundtrip_floor).
+over 368 MB and corrupt a bandwidth-bound measurement; this exact artifact
+inflated the r3 conv roofline — see perf_convfloor_v2.py).  The carry reads
+mean/sum of the FULL output: slicing it lets XLA dead-code-eliminate the
+unread output rows/columns (observed: the first r4 run's y[:128,:1] int8
+carry produced "1.5e9 TF/s"), at the cost of one output-sized read per step
+(~+25% traffic on shape B — the reported TF/s are slightly conservative).
+Scan length auto-calibrates to ~1.5 s device time so the ~28 ms
+dispatch+fetch floor (measured and subtracted,
+scripts/perf_roofline.py::_roundtrip_floor) is noise, not signal.
 
 Decision rule (VERDICT r4 item 4): any kernel >1.3x the XLA floor on these
 shapes reopens the headline; otherwise the 10x-at-d=1 question is closed on
@@ -57,9 +63,26 @@ SHAPES = {
 TILE_M = 2048
 
 
+def _calibrated(run, rt, target_s=1.5, it0=64, max_iters=65536):
+    """Auto-calibrate scan length so device time swamps the ~28 ms
+    dispatch+fetch floor (a 64-step scan of 0.2-0.5 ms matmuls is only
+    ~15-30 ms total — the r4 first run of this script produced garbage
+    rates for exactly this reason), then floor-subtract."""
+    el0 = run(it0, 1000)
+    per0 = max((el0 - rt) / it0, 1e-8)
+    iters = int(min(max_iters, max(it0, target_s / per0)))
+    if iters <= it0 * 1.5:
+        return per0
+    el = run(iters, 0)
+    return max(el - rt, 1e-9) / iters
+
+
 def _time_scan_wperturb(fn, x, w, steps=64):
     """secs/step for ``fn(x, w_t)`` over a scan with carry-perturbed weights
-    (distinct + serialized steps; x loop-invariant by design)."""
+    (distinct + serialized steps; x loop-invariant by design).  The carry
+    reads mean(y) over the FULL output: a row-sliced carry lets XLA narrow
+    the dot to the sliced rows (dead-code elimination — observed on the
+    int8 path in the first r4 run)."""
     import jax
     import jax.numpy as jnp
 
@@ -71,21 +94,21 @@ def _time_scan_wperturb(fn, x, w, steps=64):
             w_t = w * (1.0 + (i.astype(jnp.float32) + carry) * 1e-6).astype(
                 w.dtype)
             y = fn(x, w_t)
-            # Serialize on a 128-row slice only (reading all of y would add
-            # an output-sized bandwidth pass to every step).
-            return jnp.mean(y[:128].astype(jnp.float32)), 0
+            return jnp.mean(y.astype(jnp.float32)), 0
         tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), idx)
         return tot
 
     dx, dw = jax.device_put(x), jax.device_put(w)
-    idx = jax.device_put(np.arange(steps, dtype=np.int32))
-    np.asarray(scan(dx, dw, idx))  # compile + warm
-    best = np.inf
-    for _ in range(3):
+
+    def run(iters, lo):
+        idx = jax.device_put(np.arange(lo, lo + iters, dtype=np.int32))
+        np.asarray(scan(dx, dw, idx))  # compile + warm this length
         t0 = time.perf_counter()
         np.asarray(scan(dx, dw, idx))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - rt, 1e-9) / steps
+        return time.perf_counter() - t0
+
+    del steps  # length is auto-calibrated
+    return _calibrated(run, rt)
 
 
 def _int8_weight_scan(fn, x, w, steps=64):
@@ -103,19 +126,26 @@ def _int8_weight_scan(fn, x, w, steps=64):
             flip = ((i + carry) % 2).astype(jnp.int8)
             w_t = w.at[:, 0].multiply(jnp.where(flip > 0, -1, 1).astype(jnp.int8))
             y = fn(x, w_t)
-            return (jnp.sum(y[:128, :1]) % 1024).astype(jnp.int32), 0
+            # FULL-output reduction: the first r4 run read y[:128, :1] and
+            # XLA narrowed the whole matmul to one output column (measured
+            # "1.5e9 TF/s").  Sum in int64-safe chunks via float64-free
+            # modular arithmetic on int32 is overkill — a plain int32 sum
+            # wraps, which is fine for a serialization token.
+            return jnp.sum(y, dtype=jnp.int32) % 1024, 0
         tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), idx)
         return tot
 
     dx, dw = jax.device_put(x), jax.device_put(w)
-    idx = jax.device_put(np.arange(steps, dtype=np.int32))
-    np.asarray(scan(dx, dw, idx))
-    best = np.inf
-    for _ in range(3):
+
+    def run(iters, lo):
+        idx = jax.device_put(np.arange(lo, lo + iters, dtype=np.int32))
+        np.asarray(scan(dx, dw, idx))
         t0 = time.perf_counter()
         np.asarray(scan(dx, dw, idx))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - rt, 1e-9) / steps
+        return time.perf_counter() - t0
+
+    del steps
+    return _calibrated(run, rt)
 
 
 # ------------------------------------------------------------------ kernels

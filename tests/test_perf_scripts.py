@@ -104,3 +104,30 @@ def test_pallas_convfloor_kernels_match_xla():
     mod = iu.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.parity_check(interpret=True)
+
+
+def test_convfloor_v2_harness_smoke():
+    """The corrected conv-roofline harness (scripts/perf_convfloor_v2.py)
+    end-to-end on CPU at a tiny shape: weight-perturb scan runs, the
+    cost_analysis DCE guard passes (it counts the scan body once — a
+    full-output carry keeps the conv alive), and the timing plumbing
+    returns a positive per-step time."""
+    import importlib.util as iu
+
+    scripts = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts")
+    import sys
+
+    sys.path.insert(0, scripts)
+    try:
+        spec = iu.spec_from_file_location(
+            "perf_convfloor_v2", os.path.join(scripts, "perf_convfloor_v2.py"))
+        v2 = iu.module_from_spec(spec)
+        spec.loader.exec_module(v2)
+    finally:
+        sys.path.remove(scripts)
+    r = v2.measure_conv_shape("tiny", 8, 8, 8, 1, 1, dtypes=("bf16",),
+                              target_s=0.05)
+    assert r["bf16"]["secs"] > 0
+    assert r["bf16"]["achieved_gbps"] > 0
