@@ -32,6 +32,11 @@ runpy.run_path(f"{HERE}/perf_convfloor_v2.py", run_name="__main__")
 print(f"[batch] convfloor v2 f32 slice done at +{time.time() - t0:.0f}s",
       flush=True)
 
+sys.argv = ["perf_backbone_isolation.py", "--out", "docs/backbone_iso_r4.json"]
+runpy.run_path(f"{HERE}/perf_backbone_isolation.py", run_name="__main__")
+print(f"[batch] backbone isolation done at +{time.time() - t0:.0f}s",
+      flush=True)
+
 sys.argv = ["perf_pallas_convfloor.py", "--out", "docs/convfloor_r4.json"]
 runpy.run_path(f"{HERE}/perf_pallas_convfloor.py", run_name="__main__")
 print(f"[batch] pallas probe re-run done at +{time.time() - t0:.0f}s",
