@@ -215,6 +215,19 @@ def test_score_split_one_pass_matches_batched(synthetic_dataset):
             model, variables, loader, mesh=mesh, measure_throughput=False)
     assert abs(r_fallback.wape - r1.wape) < 1e-3
 
+    # w8a8 runtime path through the same scorer (the --quantize w8a8 rail):
+    # apply_fn swaps execution to the int8 backbone, metrics stay within
+    # quantization distance of the float path.
+    from visuelle2_tpu.models import quantized_resnet as qr
+
+    qapply, _calib = qr.build_serving_path(model, variables,
+                                           [next(iter(loader))])
+    rq = score_split(model, variables, loader, mesh=mesh,
+                     measure_throughput=False, one_pass=False,
+                     apply_fn=qapply)
+    assert np.isfinite(rq.wape) and np.isfinite(rq.mae)
+    assert abs(rq.wape - r1.wape) < 0.2 * max(1.0, abs(r1.wape))
+
 
 def test_forecast_zero_dim_flags_via_hparams(synthetic_dataset, trained_ck21):
     """The VERDICT-2 acceptance: after a non-default-dim training (dims 16,

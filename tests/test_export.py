@@ -161,6 +161,48 @@ def test_quantized_export_smaller_and_close(tmp_path):
     assert err < 0.05 * max(np.abs(want).max(), 1e-3), err
 
 
+def test_w8a8_export_roundtrip(tmp_path):
+    """w8a8 artifact: the int8-runtime backbone is baked into the exported
+    module, the served outputs match the live quantized path (and stay
+    within quantization error of the float model), the header records the
+    mode, and exporting without a calibrated apply_fn is an error."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from visuelle2_tpu.eval.export import export_forecaster, load_forecaster
+    from visuelle2_tpu.models import VocabSizes, build
+    from visuelle2_tpu.models import quantized_resnet as qr
+
+    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
+                  embedding_dim=16, hidden_dim=16, image_arch="tiny")
+    batch = _synthetic_batch(8, 32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, batch, train=False)
+    qapply, calib = qr.build_serving_path(
+        model, variables, [batch, _synthetic_batch(8, 32, seed=7)])
+
+    path = str(tmp_path / "w8a8.v2tpu")
+    with pytest.raises(ValueError, match="apply_fn"):
+        export_forecaster(model, variables, batch, path, quantize="w8a8")
+    size = export_forecaster(model, variables, batch, path,
+                             quantize="w8a8", quantize_min_size=64,
+                             apply_fn=qapply)
+    assert size > 0
+    fn, header = load_forecaster(path)
+    assert header["quantize"] == "w8a8" and header["quantized_arrays"] > 0
+
+    b2 = _synthetic_batch(8, 32, seed=5)
+    got = np.asarray(fn(b2))
+    live_q = np.asarray(qapply(variables, b2)[0])
+    live_f = np.asarray(model.apply(variables, b2, train=False)[0])
+    # Artifact == live quantized path up to the eager/jit requant-boundary
+    # wobble (see tests/test_quantized_resnet.py), both within quantization
+    # error of the float model.
+    assert np.linalg.norm(got - live_q) / np.linalg.norm(live_q) < 0.02
+    assert np.linalg.norm(got - live_f) / np.linalg.norm(live_f) < 0.05
+
+
 def test_micro_batcher_coalesces_concurrent_requests():
     """Concurrent small requests share one full-batch device dispatch.
 

@@ -1,0 +1,150 @@
+"""w8a8 int8 backbone engine (models/quantized_resnet.py).
+
+Covers: float-engine parity with the flax backbone (the engine's BN-fold
+must reproduce eval semantics exactly, or every int8 number is built on
+sand), quantization error bounds with random weights (worst case — real
+pretrained weights quantize better), the model-level interceptor path on
+the flagship family, calibration merging, and the eval-only guard.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visuelle2_tpu.models import VocabSizes, build
+from visuelle2_tpu.models import quantized_resnet as qr
+from visuelle2_tpu.models.resnet import ResNetBackbone
+
+VOCAB = VocabSizes(5, 6, 5, 126)
+# (2,1,1,1): block layer1_1 has an identity shortcut, so BOTH residual
+# paths (ds conv + sc_ratio rescale) execute; "tiny" is all-downsample.
+BLOCKS = (2, 1, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def backbone_vars():
+    rng = np.random.default_rng(11)
+    bb = ResNetBackbone(BLOCKS, dtype=jnp.float32)
+    x = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+    variables = bb.init(jax.random.key(0), x, train=False)
+    # Randomize params and batch_stats: fresh-init BN (mean 0, var 1) would
+    # make the fold trivial and hide scale/bias mistakes.
+    v = {"params": jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.asarray(a) +
+            rng.standard_normal(a.shape).astype(np.float32) * 0.05),
+        variables["params"]),
+        "batch_stats": jax.tree_util.tree_map(
+        lambda a: jnp.abs(jnp.asarray(
+            np.asarray(a) + rng.random(a.shape).astype(np.float32) * 0.3)),
+        variables["batch_stats"])}
+    return bb, v, x
+
+
+def test_float_engine_matches_flax_backbone(backbone_vars):
+    bb, variables, x = backbone_vars
+    ref = bb.apply(variables, x, train=False)
+    got = qr.float_forward(variables, x, BLOCKS)
+    assert np.max(np.abs(np.asarray(ref) - np.asarray(got))) < 1e-4 * float(
+        jnp.max(jnp.abs(ref)))
+
+
+def test_quantized_backbone_error_bounded(backbone_vars):
+    bb, variables, x = backbone_vars
+    ref = np.asarray(bb.apply(variables, x, train=False))
+    rec = {}
+    qr.float_forward(variables, x, BLOCKS, record=rec)
+    calib = {k: float(v) for k, v in rec.items()}
+    qt = qr.prepare(variables, calib, BLOCKS)
+    got = np.asarray(qr.apply_quantized(qt, x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    # Random weights are the worst case for per-channel int8; measured
+    # ~0.04 rel l2.  A broken scale/fold shows up as O(1).
+    assert rel < 0.10, rel
+    assert got.dtype == ref.dtype and got.shape == ref.shape
+
+
+def test_quantized_out_of_range_inputs_saturate(backbone_vars):
+    """Inputs beyond the calibration range clamp, not wrap/explode."""
+    bb, variables, x = backbone_vars
+    rec = {}
+    qr.float_forward(variables, x, BLOCKS, record=rec)
+    calib = {k: float(v) for k, v in rec.items()}
+    qt = qr.prepare(variables, calib, BLOCKS)
+    got = np.asarray(qr.apply_quantized(qt, jnp.asarray(x) * 10.0))
+    assert np.all(np.isfinite(got))
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    from __graft_entry__ import _synthetic_batch
+
+    model = build("gated_v4", vocab=VOCAB, output_len=12, embedding_dim=16,
+                  hidden_dim=16, image_arch="tiny")
+    batch = _synthetic_batch(8, 64)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    return model, variables, batch
+
+
+def test_model_level_quantized_apply(flagship):
+    from __graft_entry__ import _synthetic_batch
+
+    model, variables, batch = flagship
+    calib = qr.calibrate_model(model, variables,
+                               [batch, _synthetic_batch(8, 64, seed=5)])
+    assert set(calib) >= {"input", "stem"} and len(calib) == 2 + 3 * sum(
+        (1, 1, 1, 1))
+    qapply = qr.quantized_apply_fn(model, calib)
+    f_ref, _ = model.apply(variables, batch, train=False)
+    f_q, aux = qapply(variables, batch)
+    assert f_q.shape == f_ref.shape
+    rel = float(jnp.linalg.norm(f_q - f_ref) / jnp.linalg.norm(f_ref))
+    assert rel < 0.05, rel
+    # jit-compatible (the serving/export/bench path).  Eager and jit are
+    # NOT bitwise-equal: jit constant-folds `prepare` (and fuses the
+    # epilogue chain) with different float rounding, so requant values
+    # sitting exactly on a .5 boundary flip by one int8 step — bound the
+    # wobble at a fraction of the quantization error instead.
+    f_jit = jax.jit(lambda v, b: qapply(v, b)[0])(variables, batch)
+    jit_wobble = float(jnp.linalg.norm(f_jit - f_q) / jnp.linalg.norm(f_q))
+    assert jit_wobble < 0.02, jit_wobble
+    rel_jit = float(jnp.linalg.norm(f_jit - f_ref) / jnp.linalg.norm(f_ref))
+    assert rel_jit < 0.05, rel_jit
+
+
+def test_quantized_apply_is_eval_only(flagship):
+    model, variables, batch = flagship
+    calib = qr.calibrate_model(model, variables, [batch])
+    with pytest.raises(ValueError, match="eval"):
+        qr.quantized_apply_fn(model, calib)(variables, batch, train=True)
+
+
+def test_build_serving_path_requires_resnet_backbone():
+    """A model that never runs a ResNetBackbone (use_img=0) must error at
+    calibration, not silently score the float path under a w8a8 label."""
+    from __graft_entry__ import _synthetic_batch
+
+    model = build("gated_v4", vocab=VOCAB, output_len=12, embedding_dim=16,
+                  hidden_dim=16, image_arch="tiny", use_img=False)
+    batch = _synthetic_batch(8, 64)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    with pytest.raises(ValueError, match="ResNet"):
+        qr.build_serving_path(model, variables, [batch])
+
+
+def test_calibration_merges_batches(flagship):
+    from __graft_entry__ import _synthetic_batch
+
+    model, variables, batch = flagship
+    b2 = _synthetic_batch(8, 64, seed=9)
+    c1 = qr.calibrate_model(model, variables, [batch])
+    c2 = qr.calibrate_model(model, variables, [b2])
+    merged = qr.calibrate_model(model, variables, [batch, b2])
+    for k in merged:
+        assert merged[k] == pytest.approx(max(c1[k], c2[k]), rel=1e-6)

@@ -145,7 +145,10 @@ def build_parser():
     p.add_argument("--quantize", type=str, default="",
                    choices=["", "none", "int8"],
                    help="weight-only int8 artifact (~4x smaller; "
-                        "eval/export.py)")
+                        "eval/export.py).  The w8a8 runtime engine needs "
+                        "real activations to calibrate, so it is only "
+                        "offered where a dataset is in hand: "
+                        "forecast_{dl,transformer} --export --quantize w8a8")
     return p
 
 

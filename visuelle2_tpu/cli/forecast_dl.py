@@ -76,12 +76,22 @@ def run(args):
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+    apply_fn = None
+    if getattr(args, "quantize", "") == "w8a8":
+        from visuelle2_tpu.models import quantized_resnet as qr
+
+        it = iter(loaders["test"])
+        calib_batches = [b for b, _ in zip(it, range(2))]
+        apply_fn, calib = qr.build_serving_path(model, variables,
+                                                calib_batches)
+        print(f"[w8a8] int8 backbone: {len(calib)} activation scales "
+              f"calibrated on {len(calib_batches)} test batches")
     if getattr(args, "export", ""):
         from visuelle2_tpu.eval.export import export_forecaster
 
         size = export_forecaster(
             model, variables, next(iter(loaders["test"])), args.export,
-            quantize=getattr(args, "quantize", None),
+            quantize=getattr(args, "quantize", None), apply_fn=apply_fn,
             extra_header={"model": model.__class__.__name__})
         print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
     if getattr(args, "dump_attention", ""):
@@ -95,7 +105,8 @@ def run(args):
     op = getattr(args, "one_pass", "auto")
     result = score_split(model, variables, loaders["test"],
                          norm_scalar=norm_scalar,
-                         one_pass=None if op == "auto" else bool(int(op)))
+                         one_pass=None if op == "auto" else bool(int(op)),
+                         apply_fn=apply_fn)
     if getattr(args, "metrics_out", ""):
         import json
 
@@ -136,8 +147,13 @@ def build_parser():
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
     p.add_argument("--quantize", type=str, default="",
-                   choices=["", "none", "int8"],
-                   help="weight-only int8 artifact (~4x smaller; eval/export.py)")
+                   choices=["", "none", "int8", "w8a8"],
+                   help="int8: weight-only artifact storage (~4x smaller; "
+                        "eval/export.py).  w8a8: ALSO run (and export) the "
+                        "int8 backbone serving engine — activations "
+                        "calibrated on two test batches, metrics/throughput "
+                        "then reflect the quantized path "
+                        "(models/quantized_resnet.py)")
     p.add_argument("--dump_attention", type=str, default="",
                    help="save the first test batch's attention weights "
                         "(.npz) — per-step img/trend/multimodal alphas "

@@ -71,7 +71,8 @@ def export_forecaster(model, variables, example_batch: Dict[str, np.ndarray],
                       path: str, platforms=("cpu", "tpu"),
                       quantize: str = None,
                       quantize_min_size: int = 4096,
-                      extra_header: Dict = None) -> int:
+                      extra_header: Dict = None,
+                      apply_fn=None) -> int:
     """Serialize ``model.apply(variables, batch, train=False)`` to ``path``.
 
     Weights are closed over (baked into the module); the exported callable
@@ -79,20 +80,31 @@ def export_forecaster(model, variables, example_batch: Dict[str, np.ndarray],
     for every platform in ``platforms`` so one artifact serves TPU fleets and
     CPU canaries alike.  ``quantize="int8"`` stores the large weight
     constants as weight-only per-channel int8 (see ``_quantize_variables``)
-    for a ~4x smaller artifact.  Returns the artifact size in bytes.
+    for a ~4x smaller artifact.  ``quantize="w8a8"`` additionally requires
+    ``apply_fn`` — a calibrated ``quantized_apply_fn`` from
+    ``models/quantized_resnet.py`` — and bakes the int8-runtime backbone
+    into the artifact (int8 weight storage composes losslessly: the runtime
+    re-quantization of a dequantized per-channel-int8 kernel recovers the
+    same int8 values).  ``apply_fn`` alone swaps the traced execution path
+    without changing weight storage.  Returns the artifact size in bytes.
     """
     keys = sorted(example_batch.keys())
-    if quantize not in (None, "", "none", "int8"):
+    if quantize not in (None, "", "none", "int8", "w8a8"):
         raise ValueError(f"unsupported quantize mode {quantize!r}")
+    if quantize == "w8a8" and apply_fn is None:
+        raise ValueError(
+            "quantize='w8a8' needs a calibrated apply_fn "
+            "(models/quantized_resnet.quantized_apply_fn)")
     n_q = 0
-    if quantize == "int8":
+    if quantize in ("int8", "w8a8"):
         materialize, n_q = _quantize_variables(variables, quantize_min_size)
     else:
         materialize = lambda: variables
+    apply_fn = apply_fn if apply_fn is not None else model.apply
 
     def forecast(*arrays):
         batch = dict(zip(keys, arrays))
-        out, _aux = model.apply(materialize(), batch, train=False)
+        out, _aux = apply_fn(materialize(), batch, train=False)
         return out
 
     args = tuple(jax.numpy.asarray(example_batch[k]) for k in keys)
@@ -103,8 +115,8 @@ def export_forecaster(model, variables, example_batch: Dict[str, np.ndarray],
         "keys": keys, "version": 1,
         "shapes": {k: list(np.shape(example_batch[k])) for k in keys},
         "dtypes": {k: str(np.asarray(example_batch[k]).dtype) for k in keys},
-        **({"quantize": "int8", "quantized_arrays": n_q}
-           if quantize == "int8" else {}),
+        **({"quantize": quantize, "quantized_arrays": n_q}
+           if quantize in ("int8", "w8a8") else {}),
         # Provenance (model name, gtm_v1 text-featurizer fingerprint, ...):
         # informational for clients via /health; never consulted by load.
         **({"provenance": extra_header} if extra_header else {}),

@@ -89,8 +89,14 @@ ONE_PASS_HBM_BUDGET_BYTES = 4 << 30
 def score_split(model, variables, loader: BatchLoader, *, mesh=None,
                 norm_scalar: float = 53.0, measure_throughput: bool = True,
                 timing_iters: int = 10,
-                one_pass: Optional[bool] = None) -> ForecastResult:
+                one_pass: Optional[bool] = None,
+                apply_fn=None) -> ForecastResult:
     """Score a test split.
+
+    ``apply_fn`` overrides ``model.apply`` for alternate execution paths
+    over the same variables (e.g. the w8a8 int8 backbone,
+    models/quantized_resnet.py) — metrics, FLOPs, and throughput then all
+    reflect that path.
 
     ``one_pass=True`` stacks every batch and scores the ENTIRE split in a
     single jitted ``lax.scan`` dispatch — the split stays resident in HBM,
@@ -112,9 +118,11 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
                        for v in next(iter(loader)).values()) * len(loader))
             one_pass = est <= ONE_PASS_HBM_BUDGET_BYTES
 
+    apply_fn = apply_fn if apply_fn is not None else model.apply
+
     @jax.jit
     def eval_step(variables, batch):
-        forecast, _ = model.apply(variables, batch, train=False)
+        forecast, _ = apply_fn(variables, batch, train=False)
         target, pred = target_and_pred(batch, forecast)
         row_mask = expand_mask(batch, target)
         return eval_metrics(target, pred, row_mask, norm_scalar=norm_scalar)
@@ -212,7 +220,7 @@ def score_split(model, variables, loader: BatchLoader, *, mesh=None,
             @jax.jit
             def scan_eval(variables, stacked):
                 def body(carry, b):
-                    forecast, _ = model.apply(variables, b, train=False)
+                    forecast, _ = apply_fn(variables, b, train=False)
                     return carry + jnp.sum(forecast), ()
 
                 tot, _ = jax.lax.scan(body, jnp.zeros(()), stacked)
