@@ -93,13 +93,15 @@ def _calibrate_iters(probe_ms, probe_iters, dup, target_s, max_stack_gb):
     return max(probe_iters, min(want, mem_cap, 512))
 
 
-def measure_eval(model, variables, dup, iters, seed0):
+def measure_eval(model, variables, dup, iters, seed0, apply_fn=None):
     import jax
+
+    fn = apply_fn if apply_fn is not None else model.apply
 
     @jax.jit
     def scan_batches(variables, batch_stack):
         def body(_, batch_t):
-            f, _aux = model.apply(variables, batch_t, train=False)
+            f, _aux = fn(variables, batch_t, train=False)
             return 0, f
         _, fs = jax.lax.scan(body, 0, batch_stack)
         return fs
@@ -190,6 +192,11 @@ def main():
     # nominal 16 GB.  _measure_with_backoff halves the scan on OOM anyway.
     ap.add_argument("--max_stack_gb", type=float, default=1.0)
     ap.add_argument("--out", type=str, default=SERIES_PATH)
+    ap.add_argument("--w8a8", action="store_true",
+                    help="also record the int8 serving engine "
+                         "(models/quantized_resnet.py) over the same eval "
+                         "series, under an 'eval_w8a8' key — the dedup x "
+                         "quantization compound is the serving sweet spot")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke mode: tiny backbone/shapes, validates "
                          "every code path (incl. calibration) without TPU")
@@ -236,6 +243,30 @@ def main():
             probe["iters"] = opts.eval_iters
         record["eval"][f"dup{dup}"] = probe
         print(json.dumps({f"eval dup{dup}": probe}), flush=True)
+    if opts.w8a8:
+        from visuelle2_tpu.models import quantized_resnet as qr
+
+        qapply, calib = qr.build_serving_path(
+            model, variables,
+            [jax.device_put(_synthetic_batch(BATCH, IMAGE, seed=900 + i))
+             for i in range(2)])
+        print(json.dumps({"w8a8_scales": len(calib)}), flush=True)
+        record["eval_w8a8"] = {}
+        for di, dup in enumerate(opts.dups):
+            probe = measure_eval(model, variables, dup, opts.eval_iters,
+                                 seed0=100_000 * di + 70, apply_fn=qapply)
+            iters = _calibrate_iters(probe["ms_per_batch"], opts.eval_iters,
+                                     dup, opts.target_device_s,
+                                     opts.max_stack_gb)
+            if iters > opts.eval_iters:
+                probe = _measure_with_backoff(
+                    lambda iters, s: measure_eval(model, variables, dup,
+                                                  iters, s, apply_fn=qapply),
+                    opts.eval_iters, iters, s=100_000 * di + 77)
+            else:
+                probe["iters"] = opts.eval_iters
+            record["eval_w8a8"][f"dup{dup}"] = probe
+            print(json.dumps({f"eval_w8a8 dup{dup}": probe}), flush=True)
     for di, dup in enumerate(opts.dups):
         probe = measure_train(
             model, trainer, dup, opts.train_iters, seed0=100_000 * (di + 8))
