@@ -15,7 +15,6 @@ Asserts the dp x tp hybrid-mesh run (2 processes x (2 data x 2 model)):
 The reference has no distributed execution of any kind (SURVEY.md §2.4).
 """
 
-import importlib.util
 import json
 import os
 import socket
@@ -27,13 +26,6 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEMO = os.path.join(REPO, "scripts", "demo_multihost.py")
-
-
-def _demo_module():
-    spec = importlib.util.spec_from_file_location("demo_multihost", DEMO)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
 
 
 def _free_port() -> int:
@@ -65,17 +57,35 @@ def test_two_process_hybrid_mesh_matches_single_process():
     env["JAX_PLATFORMS"] = "cpu"
 
     port = _free_port()
+    # Single-process control (same demo, dcn=1 x data=4 x model=2 over 8
+    # devices, identical global batch and seeds — same math, different
+    # process topology) ALSO runs as a child, concurrently with the pair.
+    # A subprocess and not in-process: eager multi-device dispatch on
+    # XLA:CPU carries a known low-rate SIGABRT flake (see the host-roll
+    # note in eval/forecast.py) — in a child it is a test failure with
+    # stderr attached, in the pytest process it aborts the entire suite
+    # (observed: 'Fatal Python error: Aborted' mid-run).
+    envc = dict(os.environ)
+    envc["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    envc["JAX_PLATFORMS"] = "cpu"
+    pc = subprocess.Popen(
+        [sys.executable, DEMO, "--num_processes", "1",
+         "--devices_per_process", "8"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, env=envc)
     p1 = _spawn(port, 1, env)
     p0 = _spawn(port, 0, env)
     try:
         out0, err0 = p0.communicate(timeout=1100)
         out1, err1 = p1.communicate(timeout=60)
+        outc, errc = pc.communicate(timeout=600)
     finally:
-        for p in (p0, p1):
+        for p in (p0, p1, pc):
             if p.poll() is None:
                 p.kill()
     assert p0.returncode == 0, f"proc0 failed:\n{err0[-3000:]}"
     assert p1.returncode == 0, f"proc1 failed:\n{err1[-3000:]}"
+    assert pc.returncode == 0, f"control failed:\n{errc[-3000:]}"
     r0, r1 = _last_json(out0), _last_json(out1)
 
     assert r0["processes"] == 2 and r0["mesh"] == {"dcn": 2, "data": 2, "model": 2}
@@ -84,32 +94,12 @@ def test_two_process_hybrid_mesh_matches_single_process():
     assert r0["losses"] == r1["losses"]
     assert r0["eval_sums"] == r1["eval_sums"]
 
-    # Single-process control on this test process's 8 devices: identical
-    # global batch and seeds, dcn axis of size 1 — same math, different
-    # process topology.
-    import jax
-
-    from visuelle2_tpu.models import VocabSizes, build
-    from visuelle2_tpu.parallel.distributed import make_hybrid_mesh
-    from visuelle2_tpu.train.loop import TrainConfig, Trainer
-
-    demo = _demo_module()
-    gb = demo.synthetic_global_batch(16)
-    mesh = make_hybrid_mesh(model=2)
-    assert dict(mesh.shape) == {"dcn": 1, "data": 4, "model": 2}
-    model = build("gated_v4", vocab=VocabSizes(5, 6, 5, 126), output_len=12,
-                  embedding_dim=32, hidden_dim=64, image_arch="tiny")
-    trainer = Trainer(model, TrainConfig(batch_size=16, grad_clip=0.5,
-                                         tp_min_dim=32), mesh=mesh)
-    state = trainer.init_state(gb)
-    losses = []
-    for _ in range(2):
-        state, m = trainer.train_step(state, gb, jax.random.key(0))
-        losses.append(float(m["loss"]))
-    np.testing.assert_allclose(losses, r0["losses"], atol=2e-5)
-    sums = {k: float(v) for k, v in trainer.eval_step(state, gb).items()}
+    rc = _last_json(outc)
+    assert rc["processes"] == 1
+    assert rc["mesh"] == {"dcn": 1, "data": 4, "model": 2}
+    np.testing.assert_allclose(rc["losses"], r0["losses"], atol=2e-5)
     for k, v in r0["eval_sums"].items():
-        np.testing.assert_allclose(sums[k], v, rtol=1e-4)
+        np.testing.assert_allclose(rc["eval_sums"][k], v, rtol=1e-4)
 
 
 def test_initialize_rejects_conflicting_device_count_flag():
