@@ -56,16 +56,25 @@ def _time_scan(fn, variables, stack_warm, stack_timed, rt, iters):
     return (time.perf_counter() - t0 - rt) / iters
 
 
-def _gemm_control(jax, jnp, rt, steps=256):
-    """4096**3 dot: bf16 vs int8-with-int32-accum, weight-perturb scan.
+def _gemm_control(jax, jnp, rt, steps=256, n=4096):
+    """n**3 dot: bf16 vs int8-with-int32-accum, weight-perturb scan.
 
-    The fetch that ends the timing is a SCALAR reduction of the final
-    product (the full output is the scan carry, so the dots cannot be
-    dead-code-eliminated): the first r4 version of this control fetched
-    the whole 32-64 MB result matrix through the relay tunnel and measured
-    tunnel bandwidth (~5 "TF/s" for both dtypes), not the MXU.
+    Two measurement bugs in the first r4 version of this control, both
+    catchable from its own smoke numbers (a single CPU core "sustained"
+    4 TF/s) and both fixed here:
+
+    * it fetched the whole n x n product through the relay tunnel, so the
+      timing was tunnel bandwidth (~5 "TF/s" for both dtypes), not MXU —
+      the fetch is now a scalar;
+    * the product was carried but never READ by the next step, so XLA
+      dead-code-eliminated every dot except the last — each step's product
+      now folds into a running scalar sum that the function returns, which
+      keeps every dot live (scan iterations execute sequentially on the
+      device regardless).
+
+    Warmup and timed dispatches use distinct input pairs (the relay
+    dedupes identical dispatches).
     """
-    n = 4096
     rng = np.random.default_rng(7)
 
     def pair(dtype):
@@ -80,22 +89,24 @@ def _gemm_control(jax, jnp, rt, steps=256):
     @jax.jit
     def run_i8(x, w):
         def body(carry, _):
-            w_t, _acc = carry
+            w_t, acc = carry
             y = jax.lax.dot(x, w_t, preferred_element_type=jnp.int32)
-            return (w_t + jnp.int8(1), y), ()
-        (w_f, acc), _ = jax.lax.scan(body, (w, jnp.zeros((n, n), jnp.int32)),
-                                     None, length=steps)
-        return jnp.sum(w_f.astype(jnp.int32)), jnp.sum(acc)
+            return (w_t + jnp.int8(1),
+                    acc + jnp.sum(y, dtype=jnp.float32)), ()
+        (w_f, acc), _ = jax.lax.scan(
+            body, (w, jnp.zeros((), jnp.float32)), None, length=steps)
+        return jnp.sum(w_f.astype(jnp.int32)), acc
 
     @jax.jit
     def run_bf(x, w):
         def body(carry, _):
-            w_t, _acc = carry
+            w_t, acc = carry
             y = jax.lax.dot(x, w_t)
-            return (w_t * jnp.bfloat16(1.0000305), y), ()
-        (w_f, acc), _ = jax.lax.scan(body, (w, jnp.zeros((n, n), jnp.bfloat16)),
-                                     None, length=steps)
-        return jnp.sum(w_f.astype(jnp.float32)), jnp.sum(acc.astype(jnp.float32))
+            return (w_t * jnp.bfloat16(1.0000305),
+                    acc + jnp.sum(y.astype(jnp.float32))), ()
+        (w_f, acc), _ = jax.lax.scan(
+            body, (w, jnp.zeros((), jnp.float32)), None, length=steps)
+        return jnp.sum(w_f.astype(jnp.float32)), acc
 
     out = {}
     for name, fn in (("bf16", run_bf), ("int8", run_i8)):
@@ -114,9 +125,37 @@ def main():
     ap.add_argument("--out", default="docs/w8a8_r4.json")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--skip_gemm", action="store_true")
+    ap.add_argument("--gemm_only", action="store_true",
+                    help="re-measure just the 4096^3 int8-vs-bf16 control "
+                         "and merge it into --out (one cheap tunnel claim)")
     args = ap.parse_args()
 
     smoke = os.environ.get("VIS2_BENCH_SMOKE") == "1"
+    # A real 256-step 4096^3 control is hours on one CPU core: smoke mode
+    # shrinks it to a code-path check (the numbers are decorative there).
+    gemm_kw = dict(steps=8, n=256) if smoke else {}
+
+    if args.gemm_only:
+        import jax
+
+        if smoke:
+            jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+
+        rt = _rt_floor(jax)
+        print(f"rt floor {rt * 1e3:.1f} ms", flush=True)
+        ctl = _gemm_control(jax, jnp, rt, **gemm_kw)
+        print("gemm control:", json.dumps(ctl), flush=True)
+        res = {}
+        if os.path.isfile(args.out):
+            with open(args.out) as f:
+                res = json.load(f)
+        res["gemm_4096_control"] = ctl
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+        print("->", args.out, flush=True)
+        return
+
     import jax
 
     if smoke:
@@ -208,7 +247,7 @@ def main():
     if not args.skip_gemm:
         del d_warm, d_timed
         try:
-            res["gemm_4096_control"] = _gemm_control(jax, jnp, rt)
+            res["gemm_4096_control"] = _gemm_control(jax, jnp, rt, **gemm_kw)
             print("gemm control:", json.dumps(res["gemm_4096_control"]),
                   flush=True)
         except Exception as e:  # control is informative, not load-bearing
