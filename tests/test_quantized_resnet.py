@@ -148,3 +148,53 @@ def test_calibration_merges_batches(flagship):
     merged = qr.calibrate_model(model, variables, [batch, b2])
     for k in merged:
         assert merged[k] == pytest.approx(max(c1[k], c2[k]), rel=1e-6)
+
+
+def test_auto_mode_policy_thresholds():
+    """`--quantize auto` picks w8a8 exactly in its measured win region
+    (docs/perf_dedup_series.json: 1.18x at d=1, 1.05x at d=4, 0.81x at
+    d=10) and never without a ResNet backbone to quantize."""
+    assert qr.resolve_auto_mode(duplication=1.0,
+                                has_resnet_backbone=True) == "w8a8"
+    assert qr.resolve_auto_mode(duplication=4.0,
+                                has_resnet_backbone=True) == "w8a8"
+    assert qr.resolve_auto_mode(duplication=9.8,
+                                has_resnet_backbone=True) == ""
+    assert qr.resolve_auto_mode(duplication=1.0,
+                                has_resnet_backbone=False) == ""
+
+
+def test_cli_resolve_quantize(capsys):
+    """CLI-level resolution: duplication from the loader's static slot
+    count, explicit modes pass through untouched."""
+    import argparse
+
+    from visuelle2_tpu.cli.common import resolve_quantize
+
+    class Loader:
+        batch_size = 128
+
+        def __init__(self, slots):
+            self.image_slots = slots
+
+    args = argparse.Namespace(quantize="auto", use_img=1,
+                              image_arch="resnet101")
+    # d = 128/64 = 2 -> inside the win region.
+    assert resolve_quantize(args, Loader(64)) == "w8a8"
+    # d = 128/13 ~ 9.8 -> float path.
+    assert resolve_quantize(args, Loader(13)) == ""
+    # No dedup (slots=0) -> d = 1 -> w8a8.
+    assert resolve_quantize(args, Loader(0)) == "w8a8"
+    # No ResNet in the forward -> float path regardless of duplication.
+    args_no_img = argparse.Namespace(quantize="auto", use_img=0,
+                                     image_arch="resnet101")
+    assert resolve_quantize(args_no_img, Loader(64)) == ""
+    args_tiny = argparse.Namespace(quantize="auto", use_img=1,
+                                   image_arch="tiny")
+    assert resolve_quantize(args_tiny, Loader(64)) == ""
+    # Explicit modes are never second-guessed.
+    for mode in ("", "none", "int8", "w8a8"):
+        args_m = argparse.Namespace(quantize=mode)
+        assert resolve_quantize(args_m, Loader(13)) == mode
+    out = capsys.readouterr().out
+    assert "[quantize auto]" in out and "win region" in out

@@ -127,6 +127,35 @@ def build_loaders(args, *, demand: bool, output_len: int,
     return loaders, vocab, norm_scalar
 
 
+def resolve_quantize(args, loader) -> str:
+    """Concrete ``--quantize`` mode for a forecast run ("", "int8", "w8a8").
+
+    ``auto`` applies the measured w8a8-vs-dedup policy
+    (models/quantized_resnet.py::resolve_auto_mode, thresholds from
+    docs/perf_dedup_series.json): the int8 engine wins on byte-bound
+    early-stage activation traffic, which image dedup shrinks — so auto
+    picks w8a8 at the static duplication factors where it measured faster
+    and the float path above them.  Any other value passes through.
+    """
+    mode = getattr(args, "quantize", "") or ""
+    if mode != "auto":
+        return mode
+    from visuelle2_tpu.models import quantized_resnet as qr
+
+    slots = getattr(loader, "image_slots", 0)
+    duplication = loader.batch_size / slots if slots else 1.0
+    has_resnet = bool(getattr(args, "use_img", 1)) and getattr(
+        args, "image_arch", "") in ("resnet50", "resnet101")
+    mode = qr.resolve_auto_mode(duplication=duplication,
+                                has_resnet_backbone=has_resnet)
+    why = (f"duplication={duplication:.1f} (batch {loader.batch_size} / "
+           f"{slots} image slots)" if slots else "no image dedup")
+    print(f"[quantize auto] {why}, resnet={int(has_resnet)} -> "
+          f"{mode or 'float path'} (win region: d <= "
+          f"{qr.W8A8_AUTO_MAX_DUPLICATION:g}, docs/perf_dedup_series.json)")
+    return mode
+
+
 def apply_pretrained_backbone(state, args):
     """Splice a converted pretrained backbone (.npz) into a fresh TrainState
     when ``--pretrained_backbone`` is set; no-op otherwise."""

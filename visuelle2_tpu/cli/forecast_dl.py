@@ -14,7 +14,11 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from visuelle2_tpu.cli.common import add_common_args, build_loaders
+from visuelle2_tpu.cli.common import (
+    add_common_args,
+    build_loaders,
+    resolve_quantize,
+)
 from visuelle2_tpu.eval.forecast import score_split
 from visuelle2_tpu.models import build
 from visuelle2_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_path
@@ -77,7 +81,8 @@ def run(args):
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     apply_fn = None
-    if getattr(args, "quantize", "") == "w8a8":
+    quantize = resolve_quantize(args, loaders["test"])
+    if quantize == "w8a8":
         from visuelle2_tpu.models import quantized_resnet as qr
 
         it = iter(loaders["test"])
@@ -91,7 +96,7 @@ def run(args):
 
         size = export_forecaster(
             model, variables, next(iter(loaders["test"])), args.export,
-            quantize=getattr(args, "quantize", None), apply_fn=apply_fn,
+            quantize=quantize, apply_fn=apply_fn,
             extra_header={"model": model.__class__.__name__})
         print(f"Exported serving artifact: {args.export} ({size / 1e6:.1f} MB)")
     if getattr(args, "dump_attention", ""):
@@ -147,13 +152,16 @@ def build_parser():
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
     p.add_argument("--quantize", type=str, default="",
-                   choices=["", "none", "int8", "w8a8"],
+                   choices=["", "none", "int8", "w8a8", "auto"],
                    help="int8: weight-only artifact storage (~4x smaller; "
                         "eval/export.py).  w8a8: ALSO run (and export) the "
                         "int8 backbone serving engine — activations "
                         "calibrated on two test batches, metrics/throughput "
                         "then reflect the quantized path "
-                        "(models/quantized_resnet.py)")
+                        "(models/quantized_resnet.py).  auto: w8a8 only in "
+                        "its measured win region (image duplication <= 4, "
+                        "docs/perf_dedup_series.json), float otherwise; "
+                        "--export bakes the resolved mode")
     p.add_argument("--dump_attention", type=str, default="",
                    help="save the first test batch's attention weights "
                         "(.npz) — per-step img/trend/multimodal alphas "

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import argparse
 
-from visuelle2_tpu.cli.common import build_loaders
+from visuelle2_tpu.cli.common import build_loaders, resolve_quantize
 from visuelle2_tpu.cli.train_transformer import make_model
 from visuelle2_tpu.eval.forecast import score_split
 from visuelle2_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_path
@@ -61,7 +61,8 @@ def run(args):
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     apply_fn = None
-    if getattr(args, "quantize", "") == "w8a8":
+    quantize = resolve_quantize(args, loaders["test"])
+    if quantize == "w8a8":
         from visuelle2_tpu.models import quantized_resnet as qr
 
         it = iter(loaders["test"])
@@ -75,7 +76,7 @@ def run(args):
 
         size = export_forecaster(
             model, variables, next(iter(loaders["test"])), args.export,
-            quantize=getattr(args, "quantize", None), apply_fn=apply_fn,
+            quantize=quantize, apply_fn=apply_fn,
             extra_header={"model": args.model,
                           **({"text_fingerprint": getattr(
                               loaders["test"], "text_fingerprint", None)}
@@ -126,13 +127,16 @@ def build_parser(default_model="gtm"):
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
     p.add_argument("--quantize", type=str, default="",
-                   choices=["", "none", "int8", "w8a8"],
+                   choices=["", "none", "int8", "w8a8", "auto"],
                    help="int8: weight-only artifact storage (~4x smaller; "
                         "eval/export.py).  w8a8: ALSO run (and export) the "
                         "int8 backbone serving engine — activations "
                         "calibrated on two test batches, metrics/throughput "
                         "then reflect the quantized path "
-                        "(models/quantized_resnet.py)")
+                        "(models/quantized_resnet.py).  auto: w8a8 only in "
+                        "its measured win region (image duplication <= 4, "
+                        "docs/perf_dedup_series.json), float otherwise; "
+                        "--export bakes the resolved mode")
     p.add_argument("--dump_attention", type=str, default="",
                    help="save the first test batch's attention weights "
                         "(.npz); gtm_v1's memory-only decoder returns them")

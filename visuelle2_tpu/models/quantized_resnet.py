@@ -50,6 +50,29 @@ from visuelle2_tpu.models.resnet import ResNetBackbone
 _EPS = 1e-5  # torch BatchNorm2d default, matches resnet.BatchNorm
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# Measured win region of this engine vs the bf16 path (TPU v5 lite, r4,
+# docs/perf_dedup_series.json): 1.18x at image-duplication d=1, 1.05x at
+# d=4, 0.81x at d=10.  Image dedup shrinks exactly the byte-bound
+# early-stage activations the int8 traffic win lives on, until the convs
+# stop being byte-bound and the requantize epilogue chain is pure overhead.
+# ``--quantize auto`` therefore picks w8a8 only at or below this measured
+# duplication factor; above it the float path is faster.
+W8A8_AUTO_MAX_DUPLICATION = 4.0
+
+
+def resolve_auto_mode(*, duplication: float,
+                      has_resnet_backbone: bool) -> str:
+    """The concrete engine ``--quantize auto`` resolves to: "w8a8" or "".
+
+    ``duplication`` is the static per-batch image-duplication factor
+    (batch rows / unique-image slots; 1.0 without dedup).  Pure policy —
+    the thresholds are the measured crossover above, so callers never
+    re-litigate the roofline at serve time.
+    """
+    if not has_resnet_backbone:
+        return ""
+    return "w8a8" if duplication <= W8A8_AUTO_MAX_DUPLICATION else ""
+
 
 def _block_specs(blocks: Sequence[int]):
     """(name, width, stride, downsample) for every bottleneck, in order."""
