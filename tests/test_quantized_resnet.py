@@ -198,3 +198,16 @@ def test_cli_resolve_quantize(capsys):
         assert resolve_quantize(args_m, Loader(13)) == mode
     out = capsys.readouterr().out
     assert "[quantize auto]" in out and "win region" in out
+
+
+def test_serve_w8a8_dedup_advisory():
+    """Serving an explicitly-forced w8a8 artifact outside the measured win
+    region prints an advisory; inside it (or on float artifacts) nothing."""
+    from visuelle2_tpu.cli.serve import w8a8_dedup_advisory
+
+    hq = {"quantize": "w8a8"}
+    note = w8a8_dedup_advisory(hq, batch_size=128, slots=13)  # d ~ 9.8
+    assert note and "SLOWER" in note
+    assert w8a8_dedup_advisory(hq, batch_size=128, slots=64) is None  # d=2
+    assert w8a8_dedup_advisory(hq, batch_size=128, slots=0) is None  # no dedup
+    assert w8a8_dedup_advisory({}, batch_size=128, slots=13) is None  # float

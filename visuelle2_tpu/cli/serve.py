@@ -21,6 +21,30 @@ from visuelle2_tpu.cli.common import add_common_args, build_loaders
 from visuelle2_tpu.eval.export import load_forecaster
 
 
+def w8a8_dedup_advisory(header: dict, batch_size: int, slots: int):
+    """One-line note when a w8a8 artifact is served outside the engine's
+    measured win region (image duplication > 4, docs/perf_dedup_series.json
+    — the requant chain is overhead once dedup shrinks the byte-bound
+    early-stage activations).  ``--quantize auto`` at export time would
+    have declined w8a8 here; an explicitly-forced artifact gets this
+    advisory instead.  Returns None when there is nothing to say."""
+    if header.get("quantize") != "w8a8" or not slots:
+        return None
+    from visuelle2_tpu.models.quantized_resnet import (
+        W8A8_AUTO_MAX_DUPLICATION,
+    )
+
+    duplication = batch_size / slots
+    if duplication <= W8A8_AUTO_MAX_DUPLICATION:
+        return None
+    return (f"[serve] note: w8a8 artifact at image duplication "
+            f"{duplication:.1f} (batch {batch_size} / {slots} slots) — "
+            f"measured SLOWER than the float path above "
+            f"d={W8A8_AUTO_MAX_DUPLICATION:g} "
+            f"(docs/perf_dedup_series.json); consider a float or "
+            f"--quantize auto export for this duplication factor")
+
+
 def run(args):
     print(args)
     fn, header = load_forecaster(args.artifact)
@@ -40,6 +64,9 @@ def run(args):
     if "mask" in header.get("shapes", {}):
         args.batch_size = int(header["shapes"]["mask"][0])
     slots = int(header["shapes"]["images"][0]) if dedup else 0
+    advisory = w8a8_dedup_advisory(header, args.batch_size, slots)
+    if advisory:
+        print(advisory)
     loaders, _vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=output_len, splits=("test",),
         dedup_eval_images=dedup, dedup_image_slots=slots)
