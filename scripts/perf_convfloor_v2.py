@@ -109,10 +109,15 @@ def time_scan_weight_perturb(fn, x, w, *, flops_per_step, target_s=1.5,
     dx, dw = jax.device_put(x), jax.device_put(w)
 
     def run(iters, lo, verify=False):
+        # Warm on a DISTINCT idx range (same length -> same program): the
+        # relay dedupes identical dispatches, so the timed dispatch must
+        # not be bit-identical to the warmup (bench.py integrity rules).
+        warm = jax.device_put(
+            np.arange(lo + iters, lo + 2 * iters, dtype=np.int32))
         idx = jax.device_put(np.arange(lo, lo + iters, dtype=np.int32))
         if verify:
             _verify_no_dce(scan, (dx, dw, idx), flops_per_step)
-        np.asarray(scan(dx, dw, idx))  # compile+warm this length
+        np.asarray(scan(dx, dw, warm))  # compile+warm this length
         t0 = time.perf_counter()
         np.asarray(scan(dx, dw, idx))
         return time.perf_counter() - t0
@@ -210,8 +215,12 @@ def measure_artifact_check(target_s=1.5):
     dx, dw = jax.device_put(xf), jax.device_put(jnp.bfloat16(wf))
 
     def run(iters, lo):
+        # Distinct warm vs timed idx ranges (relay dedup hygiene); the
+        # r3 INPUT-perturb body is the artifact being demonstrated here.
+        warm = jax.device_put(
+            np.arange(lo + iters, lo + 2 * iters, dtype=np.int32))
         idx = jax.device_put(np.arange(lo, lo + iters, dtype=np.int32))
-        np.asarray(scan_r3(dx, dw, idx))
+        np.asarray(scan_r3(dx, dw, warm))
         t0 = time.perf_counter()
         np.asarray(scan_r3(dx, dw, idx))
         return time.perf_counter() - t0

@@ -101,8 +101,13 @@ def _time_scan_wperturb(fn, x, w, steps=64):
     dx, dw = jax.device_put(x), jax.device_put(w)
 
     def run(iters, lo):
+        # Warm on a DISTINCT idx range (same length -> same program): the
+        # relay dedupes identical dispatches, so the timed call must not be
+        # bit-identical to the warmup (bench.py integrity rules).
+        warm = jax.device_put(
+            np.arange(lo + iters, lo + 2 * iters, dtype=np.int32))
         idx = jax.device_put(np.arange(lo, lo + iters, dtype=np.int32))
-        np.asarray(scan(dx, dw, idx))  # compile + warm this length
+        np.asarray(scan(dx, dw, warm))  # compile + warm this length
         t0 = time.perf_counter()
         np.asarray(scan(dx, dw, idx))
         return time.perf_counter() - t0
@@ -138,8 +143,11 @@ def _int8_weight_scan(fn, x, w, steps=64):
     dx, dw = jax.device_put(x), jax.device_put(w)
 
     def run(iters, lo):
+        # Distinct warm vs timed idx ranges — see _time_scan_wperturb.
+        warm = jax.device_put(
+            np.arange(lo + iters, lo + 2 * iters, dtype=np.int32))
         idx = jax.device_put(np.arange(lo, lo + iters, dtype=np.int32))
-        np.asarray(scan(dx, dw, idx))
+        np.asarray(scan(dx, dw, warm))
         t0 = time.perf_counter()
         np.asarray(scan(dx, dw, idx))
         return time.perf_counter() - t0
@@ -217,9 +225,16 @@ def _pallas_matmul_int8(x, w, *, interpret=False):
     )(x, w)
 
 
-def _pallas_read_reduce(x, *, interpret=False):
+def _pallas_read_reduce(x, bias, *, interpret=False):
     """Bandwidth probe: read every A tile once, emit one 8x128 partial per
-    tile (write traffic negligible) — achievable HBM GB/s for this pattern."""
+    tile (write traffic negligible) — achievable HBM GB/s for this pattern.
+
+    ``bias`` is an (8, 128) f32 tile added to every partial.  It exists so
+    the timing scan can thread its carry-perturbed weight INTO the kernel:
+    without a per-step operand the reduction is loop-invariant and XLA
+    hoists the whole pallas call out of the scan — the first r4 run of the
+    carry-ignoring version recorded physically impossible bandwidths
+    (9.5e6 GB/s in the superseded convfloor_r4.json read_bw rows)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -227,20 +242,22 @@ def _pallas_read_reduce(x, *, interpret=False):
 
     m, k = x.shape
 
-    def kernel(a_ref, o_ref):
+    def kernel(a_ref, b_ref, o_ref):
         o_ref[:] = jnp.sum(a_ref[:].astype(jnp.float32).reshape(
-            TILE_M // 8, 8, k), axis=0)[:, :128]
+            TILE_M // 8, 8, k), axis=0)[:, :128] + b_ref[:]
 
     return pl.pallas_call(
         kernel,
         grid=(m // TILE_M,),
         in_specs=[pl.BlockSpec((TILE_M, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 128), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8 * (m // TILE_M), 128), jnp.float32),
         interpret=interpret,
-    )(x)
+    )(x, bias)
 
 
 def _xla_matmul(x, w):
@@ -282,9 +299,12 @@ def measure_shape(name, m, k, n, steps):
     out["pallas_int8"] = {"secs": s, "tflops_per_sec": tfs(s)}
 
     # Read-bandwidth roofline for this A (bf16 bytes; the dominant stream).
+    # w_t (the carry-perturbed weight) MUST flow into the kernel: the
+    # carry-ignoring first version was hoisted out of the scan by XLA and
+    # recorded garbage (see _pallas_read_reduce docstring).
     def bw_fn(a, w_t):
-        del w_t
-        return _pallas_read_reduce(a)
+        bias = jnp.full((8, 128), w_t[0].astype(jnp.float32), jnp.float32)
+        return _pallas_read_reduce(a, bias)
 
     s = _time_scan_wperturb(bw_fn, xb, jnp.ones((1,), jnp.bfloat16), steps)
     gbps = (2.0 * m * k) / s / 1e9
@@ -320,9 +340,15 @@ def parity_check(interpret=True):
                                          interpret=interpret))
     want = xi.astype(np.int32) @ wi.astype(np.int32)
     np.testing.assert_array_equal(got, want)
-    rr = np.asarray(_pallas_read_reduce(jnp.bfloat16(x[:2048 * 2]),
-                                        interpret=interpret))
+    xr = jnp.bfloat16(x[:2048 * 2])
+    bias = jnp.full((8, 128), 2.5, jnp.float32)
+    rr = np.asarray(_pallas_read_reduce(xr, bias, interpret=interpret))
     assert rr.shape == (16, 128) and np.all(np.isfinite(rr))
+    # The bias operand must actually reach every partial (it is what makes
+    # the timing scan's steps carry-dependent, i.e. non-hoistable).
+    rr0 = np.asarray(_pallas_read_reduce(
+        xr, jnp.zeros((8, 128), jnp.float32), interpret=interpret))
+    np.testing.assert_allclose(rr - rr0, 2.5, rtol=0, atol=1e-5)
     return True
 
 

@@ -147,16 +147,43 @@ def test_train_then_forecast_gtm_v1_cli(synthetic_dataset, tmp_path):
     best = train_transformer.run(args)
     assert best is not None
 
+    art = tmp_path / "v1.v2tpu"
     fc_args = forecast_transformer.build_parser().parse_args(
-        common + ["--ckpt_path", str(tmp_path / "ckv1")])
+        common + ["--ckpt_path", str(tmp_path / "ckv1"),
+                  "--export", str(art)])
     result = forecast_transformer.run(fc_args)
     assert np.isfinite(result.wape) and np.isfinite(result.mae)
 
-    # Featurizer fingerprint guard: the manifest pins which text featurizer
-    # produced the training features (here the zero-egress crc32 fallback);
-    # a host producing different features must get an error, not garbage.
+    # Artifact-serve path: serve must detect the text_features input key,
+    # build the features locally, and reproduce the checkpoint's metrics.
+    from visuelle2_tpu.cli import serve as serve_cli
+
+    sv = serve_cli.build_parser().parse_args([
+        "--dataset_path", synthetic_dataset, "--artifact", str(art),
+        "--demand", "1", "--output_len", "12", "--image_arch", "tiny",
+        "--image_size", "32"])
+    served = serve_cli.run(sv)
+    np.testing.assert_allclose(served["wape"], result.wape, rtol=1e-4)
+
+    # Featurizer fingerprint guard, serve side: an artifact exported with
+    # BERT features must refuse a crc32-fallback host (tamper the artifact
+    # header's provenance to simulate).
     import json
 
+    from visuelle2_tpu.eval.export import _MAGIC
+
+    raw = art.read_bytes()
+    n = int.from_bytes(raw[len(_MAGIC):len(_MAGIC) + 8], "little")
+    hdr = json.loads(raw[len(_MAGIC) + 8:len(_MAGIC) + 8 + n])
+    assert hdr["provenance"]["text_fingerprint"] == "hashed-crc32-v1"
+    hdr["provenance"]["text_fingerprint"] = "bert-base-uncased"
+    enc = json.dumps(hdr).encode()
+    art.write_bytes(_MAGIC + len(enc).to_bytes(8, "little") + enc
+                    + raw[len(_MAGIC) + 8 + n:])
+    with pytest.raises(SystemExit, match="text featurizer mismatch"):
+        serve_cli.run(sv)
+
+    # Featurizer fingerprint guard, forecast side (hparams.json manifest).
     hp_path = tmp_path / "ckv1" / "hparams.json"
     hp = json.loads(hp_path.read_text())
     assert hp["text_fingerprint"] == "hashed-crc32-v1"

@@ -142,3 +142,23 @@ def test_manifest_is_valid_json_with_vocab(tmp_path):
     with open(os.path.join(d, hp_lib.HPARAMS_FILE)) as f:
         raw = json.load(f)
     assert raw["vocab"]["num_cat"] == 5
+
+
+def test_check_dataset_compat(capsys):
+    """Dataset-derived manifest halves: vocab mismatch errors precisely,
+    norm-scalar mismatch warns, matches and pre-manifest ckpts are silent."""
+    from visuelle2_tpu.models.base import VocabSizes
+
+    vocab = VocabSizes(5, 6, 5, 126)
+    hp = {"vocab": {"num_cat": 5, "num_col": 6, "num_fab": 5,
+                    "num_store": 126}, "norm_scalar": 53.0}
+    hp_lib.check_dataset_compat(hp, vocab, 53.0)  # exact match: silent
+    hp_lib.check_dataset_compat(None, vocab, 99.0)  # pre-manifest: silent
+    assert capsys.readouterr().out == ""
+
+    with pytest.raises(SystemExit, match="num_cat: dataset 9"):
+        hp_lib.check_dataset_compat(hp, VocabSizes(9, 6, 5, 126), 53.0)
+
+    hp_lib.check_dataset_compat(hp, vocab, 65.0)
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "53.0" in out and "65.0" in out

@@ -25,6 +25,7 @@ from visuelle2_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_path
 from visuelle2_tpu.train.hparams import (
     DL_STRUCTURAL,
     apply_ckpt_hparams,
+    check_dataset_compat,
     load_hparams,
 )
 from visuelle2_tpu.train.loop import Trainer, TrainConfig
@@ -51,6 +52,10 @@ def run(args):
     loaders, vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=output_len, splits=("test",),
         dedup_eval_images=bool(getattr(args, "dedup_images", 1)))
+    # Dataset-derived halves of the manifest (vocab sizes, norm scalar):
+    # error/warn on a checkpoint-vs-dataset mismatch (train/hparams.py).
+    check_dataset_compat(load_hparams(args.ckpt_path)
+                         if args.ckpt_path else None, vocab, norm_scalar)
 
     dims = dict(attention_dim=args.attention_dim,
                 embedding_dim=args.embedding_dim, hidden_dim=args.hidden_dim,

@@ -16,6 +16,7 @@ from visuelle2_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_path
 from visuelle2_tpu.train.hparams import (
     TRANSFORMER_STRUCTURAL,
     apply_ckpt_hparams,
+    check_dataset_compat,
     load_hparams,
 )
 from visuelle2_tpu.train.loop import Trainer, TrainConfig
@@ -30,6 +31,10 @@ def run(args):
         args, demand=demand, output_len=args.output_len, splits=("test",),
         text_features=(args.model == "gtm_v1"),
         dedup_eval_images=bool(getattr(args, "dedup_images", 1)))
+    # Dataset-derived halves of the manifest (vocab sizes, norm scalar):
+    # error/warn on a checkpoint-vs-dataset mismatch (train/hparams.py).
+    check_dataset_compat(load_hparams(args.ckpt_path)
+                         if args.ckpt_path else None, vocab, norm_scalar)
     if args.model == "gtm_v1" and args.ckpt_path:
         # Checkpoint-compat guard: features from frozen BERT and from the
         # zero-egress crc32 fallback are mutually garbage — a fingerprint

@@ -67,10 +67,25 @@ def run(args):
     advisory = w8a8_dedup_advisory(header, args.batch_size, slots)
     if advisory:
         print(advisory)
+    # gtm_v1 artifacts take ingest-time text features; build them locally
+    # and refuse a featurizer mismatch (a checkpoint trained on BERT
+    # features scores silently garbage on the crc32 fallback and vice
+    # versa — models/gtm_v1.py).
+    text_features = "text_features" in header["keys"]
     loaders, _vocab, norm_scalar = build_loaders(
         args, demand=demand, output_len=output_len, splits=("test",),
+        text_features=text_features,
         dedup_eval_images=dedup, dedup_image_slots=slots)
     loader = loaders["test"]
+    if text_features:
+        want = (header.get("provenance") or {}).get("text_fingerprint")
+        have = getattr(loader, "text_fingerprint", None)
+        if want and have and want != have:
+            raise SystemExit(
+                f"gtm_v1 text featurizer mismatch: the artifact was exported "
+                f"with '{want}' features but this host produces '{have}'. "
+                f"Provide the same featurizer (e.g. set VISUELLE2_BERT_PATH "
+                f"to a local BERT snapshot) or re-export.")
 
     # Shared scoring helpers (train.loop / ops.metrics): the artifact path
     # must compute WAPE/MAE identically to the model path it cross-checks.

@@ -283,7 +283,10 @@ def calibrate_model(model, variables, batches: Iterable[dict]) -> Dict[str, floa
 
     merged: Dict[str, float] = {}
     for batch in batches:
-        for k, v in one_batch(variables, batch).items():
+        # ONE batched host transfer per calibration batch: per-scale float(v)
+        # fetches would pay ~100 sequential ~28 ms relay round trips each.
+        record = jax.device_get(one_batch(variables, batch))
+        for k, v in record.items():
             merged[k] = max(merged.get(k, 0.0), float(v))
     return merged
 

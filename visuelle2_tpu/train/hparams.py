@@ -88,6 +88,47 @@ def load_hparams(ckpt_path: str) -> Optional[Dict]:
         return json.load(f)
 
 
+def check_dataset_compat(hp: Optional[Dict], vocab, norm_scalar) -> None:
+    """Manifest vs the forecast-time dataset — the half of silent-wrongness
+    the structural-flag fill can't catch, because these come from the
+    dataset, not from flags.
+
+    * vocab-size mismatch is an ERROR: the embedding tables were sized by
+      the training dicts, so a different dataset either fails the orbax
+      tree restore opaquely or (same sizes by luck elsewhere) silently
+      looks up garbage rows;
+    * norm-scalar mismatch is a WARNING: metrics still compute, but the
+      model was trained against targets normalized by the training scalar,
+      so absolute (denormalized) forecasts are in the wrong units —
+      legitimate only for deliberate cross-dataset evaluation.
+    """
+    if hp is None:
+        return
+    want_v = hp.get("vocab")
+    if want_v:
+        got_v = {"num_cat": vocab.num_cat, "num_col": vocab.num_col,
+                 "num_fab": vocab.num_fab, "num_store": vocab.num_store}
+        bad = {k: (got_v[k], want_v[k]) for k in got_v
+               if k in want_v and got_v[k] != want_v[k]}
+        if bad:
+            raise SystemExit(
+                "checkpoint/dataset vocabulary mismatch — the checkpoint's "
+                "embedding tables were sized by a different dataset's label "
+                "dicts:\n  " + "\n  ".join(
+                    f"{k}: dataset {g} vs checkpoint {w}"
+                    for k, (g, w) in sorted(bad.items()))
+                + "\nPoint --dataset_path at the dataset the checkpoint was "
+                "trained on (hparams.json records its vocab sizes).")
+    want_ns = hp.get("norm_scalar")
+    if want_ns is not None and norm_scalar is not None:
+        if abs(float(want_ns) - float(norm_scalar)) > 1e-6 * max(
+                1.0, abs(float(want_ns))):
+            print(f"[hparams] WARNING: dataset norm scalar {norm_scalar} != "
+                  f"the checkpoint's training value {want_ns} — denormalized "
+                  f"forecasts are in the training dataset's units; expected "
+                  f"only for deliberate cross-dataset evaluation.")
+
+
 def explicit_cli_dests(parser: argparse.ArgumentParser,
                        argv: Optional[Sequence[str]] = None) -> set:
     """Dests the user explicitly passed on the command line.
