@@ -88,14 +88,15 @@ def test_holt_longer_window_tracks_linear_trend():
     np.testing.assert_allclose(f, [9.0, 10.0, 11.0], rtol=1e-3)
 
 
-def test_holt_t_gt_2_grid_approximation_pinned():
-    """ops/stats.py:100-125: for T>2 windows Holt is a fixed-init (α,β) SSE
-    grid, NOT statsmodels' MLE fit (``Oracle.py:52``) — exact only for the
-    production 2-week windows.  Two pins so the approximation can neither
-    silently drift nor silently degrade: (a) recorded regression constants,
-    (b) a bound vs an exact SSE-minimizing oracle (scipy Nelder-Mead over
-    free smoothing params AND free initial state): forecasts agree within
-    8% of the series' max magnitude."""
+def test_holt_t_gt_2_free_init_sse_pinned():
+    """ops/stats.py ``_holt_fit_forecast`` T>2: SSE minimized over (α, β)
+    AND the free initial state — the closed-form inner least squares plus a
+    zooming (α, β) grid (VERDICT r4 #5; ``Oracle.py:52``'s statsmodels
+    objective).  Two pins so the fit can neither silently drift nor silently
+    degrade: (a) recorded regression constants, (b) a bound vs an exact
+    SSE-minimizing oracle (scipy Nelder-Mead over free smoothing params AND
+    free initial state): forecasts agree within 1% of the series' max
+    magnitude (measured ~1e-5)."""
     import jax.numpy as jnp
     from scipy.optimize import minimize
 
@@ -103,8 +104,8 @@ def test_holt_t_gt_2_grid_approximation_pinned():
 
     cases = {
         # series -> recorded _holt_fit_forecast(x, 3) output (regression pin)
-        (3., 5., 4., 7., 8., 6., 9., 11.): (11.027882, 12.065744, 13.103607),
-        (10., 8., 9., 5., 6., 3.): (2.3724356, 1.3310277, 0.28961992),
+        (3., 5., 4., 7., 8., 6., 9., 11.): (11.071446, 12.059547, 13.047647),
+        (10., 8., 9., 5., 6., 3.): (2.33339, 1.047698, -0.237995),
     }
 
     def holt_sse_state(x, a, b, l0, b0):
@@ -140,4 +141,4 @@ def test_holt_t_gt_2_grid_approximation_pinned():
         _, lT, bT = holt_sse_state(x, a, b, best.x[2], best.x[3])
         oracle = lT + np.arange(1, 4) * bT
         scale = np.abs(x).max()
-        assert np.abs(got - oracle).max() < 0.08 * scale, (got, oracle)
+        assert np.abs(got - oracle).max() < 0.01 * scale, (got, oracle)

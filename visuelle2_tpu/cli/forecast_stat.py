@@ -31,10 +31,11 @@ def run(args):
             T = batch["X"].shape[-1]
             if T > 2:
                 print(f"[forecast_stat] note: holt with window length {T} > 2 "
-                      "uses a fixed-init (alpha,beta) SSE-grid fit — an "
-                      "approximation of statsmodels' free-MLE Holt (bounded "
-                      "at 8% of series max; ops/stats.py). The production "
-                      "2-step windows are exact.")
+                      "minimizes SSE over (alpha,beta) and the free initial "
+                      "state — statsmodels' least-squares objective (within "
+                      "1% of series max of a free-init SSE oracle; "
+                      "ops/stats.py). The production 2-step windows are "
+                      "exact.")
             warned_holt = True
         n = int(batch["mask"].sum())
         y_hat = np.asarray(fn(batch["X"]))[:n]
@@ -55,8 +56,9 @@ def build_parser():
                    choices=["naive", "ses", "holt"],
                    help="holt is exact for the production 2-week windows "
                         "(closed-form linear extrapolation); for longer "
-                        "windows it is a fixed-init (alpha,beta) SSE-grid "
-                        "fit, an approximation of statsmodels' MLE "
+                        "windows it minimizes SSE over (alpha,beta) and the "
+                        "free initial state — statsmodels' least-squares "
+                        "objective, within 1%% of a free-init SSE oracle "
                         "(ops/stats.py; pinned by "
                         "tests/test_stats_and_metrics.py)")
     p.add_argument("--use_teacher_forcing", type=int, default=1)

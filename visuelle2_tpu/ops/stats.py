@@ -17,13 +17,15 @@ Semantics matched to the reference:
   level, the SSE-optimal ``l0`` has a closed form — no optimizer needed.
 * **Holt** — ``Holt(x).fit()`` (``Oracle.py:52``) on a 2-point window fits the
   data exactly for *any* smoothing parameters, so the h-step forecast is the
-  exact linear extrapolation ``x1 + h·(x1−x0)``; for longer windows we use
-  least-squares-initialized level/trend with a small SSE grid over (α, β).
-  The T>2 path is therefore an APPROXIMATION of statsmodels' MLE fit (which
-  also estimates the initial state): measured within 8% of the series' max
-  magnitude of an exact free-init SSE oracle, and pinned by recorded
-  constants in ``tests/test_stats_and_metrics.py`` (the production SO-fore
-  windows are always T=2, where the result is exact).
+  exact linear extrapolation ``x1 + h·(x1−x0)``.  For T>2 the fit minimizes
+  SSE over (α, β) AND the free initial state (l0, b0) — the same objective
+  statsmodels' least-squares Holt fit solves.  The state recursion is affine
+  in (l0, b0), so the inner problem is exact 2-parameter linear least
+  squares; the outer (α, β) search is a vmapped zooming grid.  Measured
+  within 1% of the series' max magnitude of a scipy Nelder-Mead free-init
+  SSE oracle, pinned by recorded constants in
+  ``tests/test_stats_and_metrics.py`` (the production SO-fore windows are
+  always T=2, where the result is exact).
 """
 
 from __future__ import annotations
@@ -89,12 +91,52 @@ def ses_forecast(X, teacher_forcing: bool, alpha: float = 0.3):
     return f(X)[:, None, :]  # [B, 1, W]
 
 
+def _holt_affine_scan(x, a, b):
+    """Run the Holt recursion with the state written affinely in the FREE
+    initial state: ``l_t = cl + dl·l0 + el·b0``, ``tr_t = ct + dt·l0 + et·b0``
+    (the update rules are affine in (l, tr), so the coefficients propagate
+    exactly).  Returns the per-step fitted-value coefficients (fitted_t =
+    l + tr before seeing x_t) and the end-of-sample state coefficients."""
+
+    def step(carry, xt):
+        cl, dl, el, ct, dt, et = carry
+        fc, fd, fe = cl + ct, dl + dt, el + et          # fitted = l + tr
+        cl2 = a * xt + (1 - a) * fc                     # l' = a·x + (1-a)(l+tr)
+        dl2, el2 = (1 - a) * fd, (1 - a) * fe
+        ct2 = b * (cl2 - cl) + (1 - b) * ct             # tr' = b(l'-l)+(1-b)tr
+        dt2 = b * (dl2 - dl) + (1 - b) * dt
+        et2 = b * (el2 - el) + (1 - b) * et
+        return (cl2, dl2, el2, ct2, dt2, et2), (fc, fd, fe)
+
+    zero, one = jnp.zeros((), x.dtype), jnp.ones((), x.dtype)
+    init = (zero, one, zero, zero, zero, one)           # l = l0, tr = b0
+    return jax.lax.scan(step, init, x)
+
+
+def _holt_free_init_sse(x, ab):
+    """For fixed (α, β), minimize SSE over the free initial state in closed
+    form (2-parameter linear least squares) — statsmodels' objective.
+    Returns (SSE*, lT, bT) at the optimal (l0, b0)."""
+    a, b = ab
+    (cl, dl, el, ct, dt, et), (fc, fd, fe) = _holt_affine_scan(x, a, b)
+    r = x - fc
+    g11, g12, g22 = fd @ fd, fd @ fe, fe @ fe
+    lam = 1e-7 * (g11 + g22) + 1e-30                    # ridge for degeneracy
+    det = (g11 + lam) * (g22 + lam) - g12 * g12
+    l0 = ((g22 + lam) * (fd @ r) - g12 * (fe @ r)) / det
+    b0 = ((g11 + lam) * (fe @ r) - g12 * (fd @ r)) / det
+    resid = r - fd * l0 - fe * b0
+    return resid @ resid, cl + dl * l0 + el * b0, ct + dt * l0 + et * b0
+
+
 def _holt_fit_forecast(x, horizon: int):
     """Holt linear-trend fit + h-step forecast for 1-D ``x``.
 
     For T==2 the SSE-zero solution gives forecast(h) = x1 + h·(x1−x0) exactly
-    (independent of α/β).  For T>2, initialize l0=x0, b0=x1−x0 and grid-search
-    (α, β) for minimal SSE, then extrapolate.
+    (independent of α/β).  For T>2, minimize SSE over (α, β, l0, b0): the
+    initial state in closed form per (α, β) (see ``_holt_free_init_sse``) and
+    (α, β) by a vmapped 3-round zooming grid over [1e-4, 1]², keeping the
+    global best across rounds.
     """
     T = x.shape[0]
     if T == 2:
@@ -102,32 +144,27 @@ def _holt_fit_forecast(x, horizon: int):
         h = jnp.arange(1, horizon + 1, dtype=x.dtype)
         return x[1] + h * slope
 
-    grid = jnp.linspace(0.05, 0.95, 10)
-
-    def sse_and_state(ab):
-        a, b = ab
-
-        def step(carry, xt):
-            l, tr = carry
-            pred = l + tr
-            err = xt - pred
-            l2 = a * xt + (1 - a) * (l + tr)
-            tr2 = b * (l2 - l) + (1 - b) * tr
-            return (l2, tr2), err * err
-
-        # (l0, b0) is the state *before* the first observation: fitted[0] =
-        # l0 + b0 must forecast x[0], so l0 = x0 − slope (consistent with the
-        # exact T==2 solution above where l0 = 2·x0 − x1).
-        slope0 = x[1] - x[0]
-        (lT, bT), errs = jax.lax.scan(step, (x[0] - slope0, slope0), x)
-        return jnp.sum(errs), lT, bT
-
-    aa, bb = jnp.meshgrid(grid, grid)
-    abs_ = jnp.stack([aa.ravel(), bb.ravel()], axis=1)
-    sses, lTs, bTs = jax.vmap(sse_and_state)(abs_)
-    best = jnp.argmin(sses)
+    G = 17
+    lo = jnp.full((2,), 1e-4, x.dtype)
+    hi = jnp.ones((2,), x.dtype)
+    best = (jnp.asarray(jnp.inf, x.dtype), jnp.zeros((), x.dtype),
+            jnp.zeros((), x.dtype))
+    for _ in range(3):
+        ga = jnp.linspace(lo[0], hi[0], G)
+        gb = jnp.linspace(lo[1], hi[1], G)
+        aa, bb = jnp.meshgrid(ga, gb)
+        ab = jnp.stack([aa.ravel(), bb.ravel()], axis=1)
+        sses, lTs, bTs = jax.vmap(_holt_free_init_sse, in_axes=(None, 0))(
+            x, ab)
+        i = jnp.argmin(sses)
+        take = sses[i] < best[0]
+        best = tuple(jnp.where(take, new, old)
+                     for new, old in zip((sses[i], lTs[i], bTs[i]), best))
+        step = (hi - lo) / (G - 1)
+        lo = jnp.clip(ab[i] - step, 1e-4, 1.0)
+        hi = jnp.clip(ab[i] + step, 1e-4, 1.0)
     h = jnp.arange(1, horizon + 1, dtype=x.dtype)
-    return lTs[best] + h * bTs[best]
+    return best[1] + h * best[2]
 
 
 def holt_forecast(X, teacher_forcing: bool):
