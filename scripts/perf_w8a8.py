@@ -38,13 +38,16 @@ BATCH, IMAGE, ITERS = 128, 299, 50
 
 
 def _rt_floor(jax):
+    # Distinct input per probe: the relay dedupes bit-identical dispatches
+    # (CLAUDE.md "Benchmark integrity"), which would time a cached path and
+    # under-measure the floor.
     noop = jax.jit(lambda x: x + 1.0)
-    d0 = jax.device_put(np.float32(0.0))
-    np.asarray(noop(d0))
+    np.asarray(noop(jax.device_put(np.float32(0.0))))
     vals = []
-    for _ in range(5):
+    for i in range(5):
+        d = jax.device_put(np.float32(i + 1.0))
         t0 = time.perf_counter()
-        np.asarray(noop(d0))
+        np.asarray(noop(d))
         vals.append(time.perf_counter() - t0)
     return min(vals)
 

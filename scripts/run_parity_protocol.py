@@ -64,6 +64,18 @@ def _common(args, extra):
     return out + extra
 
 
+def _w8a8_row(label, q, float_r):
+    """int8 serving-engine accuracy sign-off (VERDICT r4 #4): quantized
+    WAPE/MAE on the SAME trained checkpoint, plus deltas vs its own bf16
+    eval.  No reference counterpart — the comparison target is our float
+    run (the reference has no quantized path)."""
+    return {"row": f"{label} WAPE/MAE", "wape": q.wape, "mae": q.mae,
+            "wape_delta_vs_float": round(q.wape - float_r.wape, 4),
+            "mae_delta_vs_float": round(q.mae - float_r.mae, 4),
+            "hw": "TPU",
+            "reference_cmd": "(none — int8 engine sign-off vs our float run)"}
+
+
 def run_stats(args, rows):
     from visuelle2_tpu.cli import forecast_stat
 
@@ -100,6 +112,10 @@ def run_rnn_task(args, rows, *, task_mode=None, new_product=0, label="",
                  "gflops_per_sample": r.gflops_per_sample,
                  "train_wall_s": round(wall, 1), "hw": "TPU",
                  "reference_cmd": REF[ref_key]})
+    if args.w8a8:
+        q = forecast_dl.run(forecast_dl.build_parser().parse_args(_common(
+            args, dims + sel + ["--ckpt_path", ck, "--quantize", "w8a8"])))
+        rows.append(_w8a8_row(f"{label} w8a8", q, r))
 
 
 def run_transformers(args, rows):
@@ -125,6 +141,12 @@ def run_transformers(args, rows):
                      "mae": r.mae, "gflops_per_sample": r.gflops_per_sample,
                      "train_wall_s": round(wall, 1), "hw": "TPU",
                      "reference_cmd": REF["transformer"].replace("{M}", ref_m)})
+        if args.w8a8:
+            q = forecast_transformer.run(
+                forecast_transformer.build_parser().parse_args(
+                    _common(args, base + ["--ckpt_path", ck,
+                                          "--quantize", "w8a8"])))
+            rows.append(_w8a8_row(f"Demand {m} w8a8", q, r))
 
 
 def main():
@@ -142,6 +164,10 @@ def main():
                    help="resnet101.npz from convert_pretrained.py — REQUIRED "
                         "for a faithful comparison (the reference finetunes "
                         "pretrained weights)")
+    p.add_argument("--w8a8", type=int, default=1,
+                   help="also score each trained checkpoint through the "
+                        "--quantize w8a8 serving engine (accuracy sign-off "
+                        "rows with deltas vs the float run)")
     p.add_argument("--quick", action="store_true",
                    help="dry-run config: tiny backbone, 1 epoch, small dims")
     p.add_argument("--work_dir", default="")

@@ -196,8 +196,45 @@ def test_cli_resolve_quantize(capsys):
     for mode in ("", "none", "int8", "w8a8"):
         args_m = argparse.Namespace(quantize=mode)
         assert resolve_quantize(args_m, Loader(13)) == mode
+    # Duplication must come from the UNPADDED unique-image count: padded
+    # slots (device-count multiple / artifact signature) understate d near
+    # the crossover (ADVICE r4).  Padded d = 128/40 = 3.2 (would pick w8a8);
+    # true d = 128/26 ~ 4.9 -> float.
+    padded = Loader(40)
+    padded.unique_image_slots = 26
+    assert resolve_quantize(args, padded) == ""
+    # Any production STAGE_BLOCKS arch qualifies (not a hard-coded list).
+    args_r50 = argparse.Namespace(quantize="auto", use_img=1,
+                                  image_arch="resnet50")
+    assert resolve_quantize(args_r50, Loader(64)) == "w8a8"
     out = capsys.readouterr().out
     assert "[quantize auto]" in out and "win region" in out
+
+
+def test_build_w8a8_serving_path_split_selection(monkeypatch, capsys):
+    """The shared calibration prologue honors --calib_split/--calib_batches
+    and falls back to test when the requested split wasn't loaded."""
+    import argparse
+
+    from visuelle2_tpu.cli.common import build_w8a8_serving_path
+
+    calls = {}
+
+    def fake(model, variables, batches):
+        calls["n"] = len(batches)
+        return "APPLY", {"scale": 1.0}
+
+    monkeypatch.setattr(
+        "visuelle2_tpu.models.quantized_resnet.build_serving_path", fake)
+    loaders = {"train": [1, 2, 3, 4], "test": [5, 6]}
+    args = argparse.Namespace(calib_split="train", calib_batches=3)
+    assert build_w8a8_serving_path("M", "V", loaders, args) == "APPLY"
+    assert calls["n"] == 3
+    assert "3 train batches" in capsys.readouterr().out
+    args = argparse.Namespace(calib_split="train", calib_batches=2)
+    assert build_w8a8_serving_path("M", "V", {"test": [5, 6]}, args) == "APPLY"
+    out = capsys.readouterr().out
+    assert "using test" in out and "2 test batches" in out
 
 
 def test_serve_w8a8_dedup_advisory():

@@ -112,17 +112,19 @@ class _TorchFairseqAdafactor:
     mirroring ``optax.chain(clip_by_global_norm, adafactor)`` inside the
     ``train`` partition of ``make_optimizer``."""
 
-    def __init__(self, params, clip=None):
+    def __init__(self, params, clip=None, lr=None):
         self.params = [p for p in params if p.requires_grad]
         self.v = [torch.zeros_like(p) for p in self.params]
         self.t = 0
         self.clip = clip
+        self.lr = lr  # None = relative-step schedule; float = fixed override
 
     @torch.no_grad()
     def step(self):
         self.t += 1
         t = self.t
-        rel_step = min(1e-6 * t, 1.0 / np.sqrt(t))
+        rel_step = (min(1e-6 * t, 1.0 / np.sqrt(t))
+                    if self.lr is None else self.lr)
         beta2t = 1.0 - t ** (-0.8)
         if self.clip is not None:
             torch.nn.utils.clip_grad_norm_(self.params, self.clip)
@@ -439,18 +441,14 @@ def test_gated_v4_training_trajectory_matches_torch(monkeypatch):
                                    rtol=2e-4, atol=5e-6, err_msg=k)
 
 
-def test_cross_attn_rnn_210_teacher_forced_training_trajectory(monkeypatch):
-    """Scan-decode family under the real compiled step for N steps: the
-    teacher-forcing coins (ratio=1.0 -> every step consumes ground truth,
-    CrossAttnRNN210.py:216-225) and the sales-GRU-primed nn.scan decode must
-    hold up across optimizer steps, with the unclipped Adafactor of the
-    train_dl family.  use_img=False: BN trajectories are test 1's subject."""
-    _neutralize_dropout(monkeypatch)
-    torch.manual_seed(73)
-    n, W, T = 4, 1, 10
-    batches = [_batch(n=n, windows=W, horizon=T, seed=200 + i)
-               for i in range(N_STEPS)]
-
+def _torch_210(seed, n=4, W=1, T=10):
+    """The no-image CrossAttnRNN210 torch composition (shared by the 4-step
+    trajectory golden and the epoch-seam test).  Returns
+    ``(forward, param_tree, parameters)``; ``forward(batch,
+    teacher_forcing=True)`` -> ``(pred [n·W, T], y_flat)`` — TF feeds the
+    ground-truth sale each step (ratio 1.0), eval feeds the prediction
+    (CrossAttnRNN210.py:216-225)."""
+    torch.manual_seed(seed)
     trend_gru = torch.nn.GRU(3, E, batch_first=True)
     temp_lins = [torch.nn.Linear(1, E) for _ in range(4)]
     embs = [torch.nn.Embedding(v, E)
@@ -466,7 +464,7 @@ def test_cross_attn_rnn_210_teacher_forced_training_trajectory(monkeypatch):
     dec_gru = torch.nn.GRU(E + 1, E, batch_first=True)
     decoder_fc = torch.nn.Linear(E, 1)
 
-    def forward(batch):
+    def forward(batch, teacher_forcing=True):
         X = torch.tensor(batch["X"]).reshape(n * W, 2, 1)
         y_flat = torch.tensor(batch["y"]).reshape(n * W, T)
         trend_enc = trend_gru(
@@ -491,9 +489,12 @@ def test_cross_attn_rnn_210_teacher_forced_training_trajectory(monkeypatch):
             x = torch.cat([ctx.unsqueeze(1), dec_out], dim=2)
             out, h2 = dec_gru(x, hidden.unsqueeze(0))
             hidden = h2.squeeze(0)
-            outs.append(decoder_fc(out)[:, 0, 0])
-            # TF coin true at ratio 1.0: feed the ground-truth sale.
-            dec_out = y_flat[:, t].detach()[:, None, None]
+            pred = decoder_fc(out)
+            outs.append(pred[:, 0, 0])
+            if teacher_forcing:  # TF coin true at ratio 1.0
+                dec_out = y_flat[:, t].detach()[:, None, None]
+            else:
+                dec_out = pred
         return torch.stack(outs, dim=1), y_flat
 
     temp_names = ("day", "week", "month", "year")
@@ -522,15 +523,36 @@ def test_cross_attn_rnn_210_teacher_forced_training_trajectory(monkeypatch):
             },
         }
 
+    all_mods = ([trend_gru, sales_gru, self_attn, trend_linear, mm_embedder,
+                 dec_gru, decoder_fc] + temp_lins + embs
+                + [l for v in adds.values() for l in v])
+    return forward, param_tree, [p for m in all_mods for p in m.parameters()]
+
+
+def _build_210(T=10):
+    return build("cross_attn_rnn_210", vocab=VOCAB, out_len=T,
+                 attention_dim=E, embedding_dim=E, hidden_dim=E,
+                 use_img=False, image_arch="tiny",
+                 use_teacher_forcing=True, teacher_forcing_ratio=1.0)
+
+
+def test_cross_attn_rnn_210_teacher_forced_training_trajectory(monkeypatch):
+    """Scan-decode family under the real compiled step for N steps: the
+    teacher-forcing coins (ratio=1.0 -> every step consumes ground truth,
+    CrossAttnRNN210.py:216-225) and the sales-GRU-primed nn.scan decode must
+    hold up across optimizer steps, with the unclipped Adafactor of the
+    train_dl family.  use_img=False: BN trajectories are test 1's subject."""
+    _neutralize_dropout(monkeypatch)
+    n, W, T = 4, 1, 10
+    batches = [_batch(n=n, windows=W, horizon=T, seed=200 + i)
+               for i in range(N_STEPS)]
+
+    forward, param_tree, parameters = _torch_210(73, n=n, W=W, T=T)
     params0 = param_tree()
     init_params = jax.tree_util.tree_map(np.copy, params0)
     variables = _to_jax({"params": params0})
 
-    all_mods = ([trend_gru, sales_gru, self_attn, trend_linear, mm_embedder,
-                 dec_gru, decoder_fc] + temp_lins + embs
-                + [l for v in adds.values() for l in v])
-    opt = _TorchFairseqAdafactor(
-        [p for m in all_mods for p in m.parameters()], clip=None)
+    opt = _TorchFairseqAdafactor(parameters, clip=None)
     t_losses = []
     for b in batches:
         pred, y_flat = forward(b)
@@ -539,11 +561,122 @@ def test_cross_attn_rnn_210_teacher_forced_training_trajectory(monkeypatch):
         t_losses.append(float(loss.detach()))
         opt.step()
 
-    model = build("cross_attn_rnn_210", vocab=VOCAB, out_len=T,
-                  attention_dim=E, embedding_dim=E, hidden_dim=E,
-                  use_img=False, image_arch="tiny",
-                  use_teacher_forcing=True, teacher_forcing_ratio=1.0)
-    state, j_losses = _jax_fit(model, variables, batches, grad_clip=None)
+    state, j_losses = _jax_fit(_build_210(T), variables, batches,
+                               grad_clip=None)
 
     _assert_trajectory(init_params, state.params, param_tree(),
                        j_losses, t_losses)
+
+
+class _ListLoader:
+    """Deterministic in-memory stand-in for BatchLoader: fixed batches, with
+    the (seed, epoch)-pinned shuffle contract ``fit`` relies on."""
+
+    def __init__(self, batches, shuffle_seed=None):
+        self.batches = list(batches)
+        self.order = list(range(len(batches)))
+        self.shuffle_seed = shuffle_seed
+
+    @staticmethod
+    def epoch_order(n, shuffle_seed, epoch):
+        return list(np.random.default_rng(shuffle_seed + epoch)
+                    .permutation(n))
+
+    def set_epoch(self, epoch):
+        if self.shuffle_seed is not None:
+            self.order = self.epoch_order(len(self.batches),
+                                          self.shuffle_seed, epoch)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return (self.batches[i] for i in self.order)
+
+
+def test_cross_attn_rnn_210_epoch_seam_val_and_selection(monkeypatch,
+                                                         tmp_path):
+    """The evaluate -> monitor -> save chain over epoch seams (VERDICT r4
+    #6; ``/root/reference/train_dl.py:151-175``): 3 tiny epochs through the
+    REAL ``Trainer.fit`` — per-epoch shuffled batch order (``set_epoch``),
+    per-epoch val_wWAPE/val_mae from ``evaluate``, and the min-val_wWAPE
+    checkpoint selection through a real orbax CheckpointManager — against
+    the torch composition fed the identical batch order.
+
+    Cannot reuse the 4-step test's compiled step: visible-convergence needs
+    the fixed learning-rate override (the faithful warmup moves params
+    ~1e-5 over 9 steps — epoch-to-epoch val differences would drown in
+    cross-framework float noise), and a different optimizer is a different
+    XLA program.  The model/shapes are the 4-step test's exact config, so
+    the marginal compile is the optimizer swap only."""
+    _neutralize_dropout(monkeypatch)
+    n, W, T = 4, 1, 10
+    EPOCHS, STEPS, LR, SHUF = 3, 3, 5e-3, 990
+    train_batches = [_batch(n=n, windows=W, horizon=T, seed=300 + i)
+                     for i in range(STEPS)]
+    val_batches = [_batch(n=n, windows=W, horizon=T, seed=400 + i)
+                   for i in range(2)]
+
+    forward, param_tree, parameters = _torch_210(77, n=n, W=W, T=T)
+    variables = _to_jax({"params": param_tree()})
+
+    # ---- torch: same epoch orders, eval (no TF) after each epoch.
+    opt = _TorchFairseqAdafactor(parameters, clip=None, lr=LR)
+    t_epochs = []
+    for epoch in range(EPOCHS):
+        order = _ListLoader.epoch_order(STEPS, SHUF, epoch)
+        losses = []
+        for i in order:
+            pred, y_flat = forward(train_batches[i])
+            loss = torch.nn.functional.mse_loss(pred, y_flat)
+            loss.backward()
+            losses.append(float(loss.detach()))
+            opt.step()
+        abs_err = abs_gt = count = 0.0
+        with torch.no_grad():
+            for b in val_batches:
+                pred, y_flat = forward(b, teacher_forcing=False)
+                abs_err += float((y_flat - pred).abs().sum()) * 53.0
+                abs_gt += float(y_flat.abs().sum()) * 53.0
+                count += y_flat.numel()
+        t_epochs.append({"train_loss": float(np.mean(losses)),
+                         "val_mae": abs_err / count,
+                         "val_wWAPE": 100.0 * abs_err / abs_gt})
+
+    # ---- jax: the real fit loop with a real checkpoint manager.
+    from visuelle2_tpu.train.checkpoint import CheckpointManager
+
+    from visuelle2_tpu.parallel.mesh import make_mesh
+
+    model = _build_210(T)
+    trainer = Trainer(model, TrainConfig(epochs=EPOCHS, grad_clip=None,
+                                         learning_rate=LR),
+                      mesh=make_mesh(data=1, model=1,
+                                     devices=jax.devices()[:1]))
+    params = variables["params"]
+    tx = optim_lib.make_optimizer(params, None, LR)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=core.FrozenDict({}),
+                       opt_state=tx.init(params), tx=tx)
+    ckpt = CheckpointManager(str(tmp_path / "ck"), save_top_k=1)
+    trainer.fit(_ListLoader(train_batches, shuffle_seed=SHUF),
+                _ListLoader(val_batches), state=state, checkpointer=ckpt)
+
+    assert len(trainer.history) == EPOCHS
+    for got, want in zip(trainer.history, t_epochs):
+        for k in ("train_loss", "val_mae", "val_wWAPE"):
+            np.testing.assert_allclose(got[k], want[k], rtol=2e-3,
+                                       err_msg=f"epoch {got['epoch']} {k}")
+
+    # Checkpoint selection: both sides pick the same min-val_wWAPE epoch,
+    # and the margin between epochs dwarfs the cross-framework drift.
+    t_best = int(np.argmin([m["val_wWAPE"] for m in t_epochs]))
+    best_epoch, best_val = ckpt.best_metric()
+    ckpt.close()
+    assert best_epoch == t_best
+    np.testing.assert_allclose(best_val, t_epochs[t_best]["val_wWAPE"],
+                               rtol=2e-3)
+    gaps = np.abs(np.diff(sorted(m["val_wWAPE"] for m in t_epochs)))
+    assert gaps.min() > 10 * abs(
+        best_val - t_epochs[t_best]["val_wWAPE"]), \
+        "selection margin too small to be meaningful"

@@ -141,19 +141,57 @@ def resolve_quantize(args, loader) -> str:
     if mode != "auto":
         return mode
     from visuelle2_tpu.models import quantized_resnet as qr
+    from visuelle2_tpu.models.resnet import STAGE_BLOCKS
 
-    slots = getattr(loader, "image_slots", 0)
+    # True (pre-padding) unique-image count: image_slots is rounded up to a
+    # device-count multiple or forced by an artifact signature, which would
+    # understate duplication near the d<=4 crossover.
+    slots = (getattr(loader, "unique_image_slots", 0)
+             or getattr(loader, "image_slots", 0))
     duplication = loader.batch_size / slots if slots else 1.0
+    # Any production ResNet variant the engine supports (the interceptor keys
+    # off ResNetBackbone, not the arch string); 'tiny' is test-only and too
+    # small for the measured byte-bound win region.
     has_resnet = bool(getattr(args, "use_img", 1)) and getattr(
-        args, "image_arch", "") in ("resnet50", "resnet101")
+        args, "image_arch", "") in (set(STAGE_BLOCKS) - {"tiny"})
     mode = qr.resolve_auto_mode(duplication=duplication,
                                 has_resnet_backbone=has_resnet)
     why = (f"duplication={duplication:.1f} (batch {loader.batch_size} / "
-           f"{slots} image slots)" if slots else "no image dedup")
+           f"{slots} unique images)" if slots else "no image dedup")
     print(f"[quantize auto] {why}, resnet={int(has_resnet)} -> "
           f"{mode or 'float path'} (win region: d <= "
           f"{qr.W8A8_AUTO_MAX_DUPLICATION:g}, docs/perf_dedup_series.json)")
     return mode
+
+
+def add_quantize_calib_args(p):
+    """w8a8 calibration knobs shared by the forecast CLIs."""
+    p.add_argument("--calib_batches", type=int, default=2,
+                   help="batches used to calibrate w8a8 activation scales")
+    p.add_argument("--calib_split", type=str, default="test",
+                   choices=["test", "train"],
+                   help="split the calibration batches come from.  The "
+                        "default (test) matches exported-artifact semantics "
+                        "but reuses the metric split's statistics; pass "
+                        "train for leakage-free calibration")
+
+
+def build_w8a8_serving_path(model, variables, loaders, args):
+    """Shared w8a8 prologue (forecast_dl / forecast_transformer): calibrate
+    activation scales on ``--calib_batches`` batches of ``--calib_split`` and
+    return the quantized ``apply_fn`` (models/quantized_resnet.py)."""
+    from visuelle2_tpu.models import quantized_resnet as qr
+
+    split = getattr(args, "calib_split", "test") or "test"
+    if split not in loaders:
+        print(f"[w8a8] calib split '{split}' not loaded; using test")
+        split = "test"
+    n = max(1, int(getattr(args, "calib_batches", 2)))
+    calib_batches = [b for b, _ in zip(iter(loaders[split]), range(n))]
+    apply_fn, calib = qr.build_serving_path(model, variables, calib_batches)
+    print(f"[w8a8] int8 backbone: {len(calib)} activation scales "
+          f"calibrated on {len(calib_batches)} {split} batches")
+    return apply_fn
 
 
 def apply_pretrained_backbone(state, args):

@@ -9,7 +9,12 @@ from __future__ import annotations
 
 import argparse
 
-from visuelle2_tpu.cli.common import build_loaders, resolve_quantize
+from visuelle2_tpu.cli.common import (
+    add_quantize_calib_args,
+    build_loaders,
+    build_w8a8_serving_path,
+    resolve_quantize,
+)
 from visuelle2_tpu.cli.train_transformer import make_model
 from visuelle2_tpu.eval.forecast import score_split
 from visuelle2_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_path
@@ -27,8 +32,12 @@ def run(args):
     demand = bool(args.demand)
     if args.model == "gtm_v1" and not demand:
         raise SystemExit("gtm_v1 is demand-only; use --demand 1")
+    splits = (("train", "test")
+              if (getattr(args, "quantize", "") in ("w8a8", "auto")
+                  and getattr(args, "calib_split", "test") == "train")
+              else ("test",))
     loaders, vocab, norm_scalar = build_loaders(
-        args, demand=demand, output_len=args.output_len, splits=("test",),
+        args, demand=demand, output_len=args.output_len, splits=splits,
         text_features=(args.model == "gtm_v1"),
         dedup_eval_images=bool(getattr(args, "dedup_images", 1)))
     # Dataset-derived halves of the manifest (vocab sizes, norm scalar):
@@ -68,14 +77,7 @@ def run(args):
     apply_fn = None
     quantize = resolve_quantize(args, loaders["test"])
     if quantize == "w8a8":
-        from visuelle2_tpu.models import quantized_resnet as qr
-
-        it = iter(loaders["test"])
-        calib_batches = [b for b, _ in zip(it, range(2))]
-        apply_fn, calib = qr.build_serving_path(model, variables,
-                                                calib_batches)
-        print(f"[w8a8] int8 backbone: {len(calib)} activation scales "
-              f"calibrated on {len(calib_batches)} test batches")
+        apply_fn = build_w8a8_serving_path(model, variables, loaders, args)
     if getattr(args, "export", ""):
         from visuelle2_tpu.eval.export import export_forecaster
 
@@ -131,12 +133,14 @@ def build_parser(default_model="gtm"):
                         "forecaster spelling)")
     p.add_argument("--export", type=str, default="",
                    help="write a self-contained StableHLO serving artifact")
+    add_quantize_calib_args(p)
     p.add_argument("--quantize", type=str, default="",
                    choices=["", "none", "int8", "w8a8", "auto"],
                    help="int8: weight-only artifact storage (~4x smaller; "
                         "eval/export.py).  w8a8: ALSO run (and export) the "
                         "int8 backbone serving engine — activations "
-                        "calibrated on two test batches, metrics/throughput "
+                        "calibrated on --calib_batches batches of "
+                        "--calib_split, metrics/throughput "
                         "then reflect the quantized path "
                         "(models/quantized_resnet.py).  auto: w8a8 only in "
                         "its measured win region (image duplication <= 4, "

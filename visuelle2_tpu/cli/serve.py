@@ -38,7 +38,8 @@ def w8a8_dedup_advisory(header: dict, batch_size: int, slots: int):
     if duplication <= W8A8_AUTO_MAX_DUPLICATION:
         return None
     return (f"[serve] note: w8a8 artifact at image duplication "
-            f"{duplication:.1f} (batch {batch_size} / {slots} slots) — "
+            f"{duplication:.1f} (batch {batch_size} / {slots} unique "
+            f"images) — "
             f"measured SLOWER than the float path above "
             f"d={W8A8_AUTO_MAX_DUPLICATION:g} "
             f"(docs/perf_dedup_series.json); consider a float or "
@@ -64,9 +65,6 @@ def run(args):
     if "mask" in header.get("shapes", {}):
         args.batch_size = int(header["shapes"]["mask"][0])
     slots = int(header["shapes"]["images"][0]) if dedup else 0
-    advisory = w8a8_dedup_advisory(header, args.batch_size, slots)
-    if advisory:
-        print(advisory)
     # gtm_v1 artifacts take ingest-time text features; build them locally
     # and refuse a featurizer mismatch (a checkpoint trained on BERT
     # features scores silently garbage on the crc32 fallback and vice
@@ -77,6 +75,14 @@ def run(args):
         text_features=text_features,
         dedup_eval_images=dedup, dedup_image_slots=slots)
     loader = loaders["test"]
+    # Advisory on the TRUE duplication factor (the artifact's slot count is
+    # padded to the exporting host's device multiple, which would understate
+    # duplication and mute the warning near the crossover).
+    advisory = w8a8_dedup_advisory(
+        header, args.batch_size,
+        getattr(loader, "unique_image_slots", 0) or slots)
+    if advisory:
+        print(advisory)
     if text_features:
         want = (header.get("provenance") or {}).get("text_fingerprint")
         have = getattr(loader, "text_fingerprint", None)

@@ -75,6 +75,11 @@ class BatchLoader:
         # duplicate-encode batch).  Opt-in on the train CLIs for that reason.
         self.dedup_images = bool(dedup_images and images is not None)
         self.image_slots = 0
+        # Pre-padding unique-image requirement: `image_slots` is rounded up
+        # to a device-count multiple (or forced by an artifact signature), so
+        # policies that need the TRUE duplication factor (cli/common.py
+        # resolve_quantize) must read this, not image_slots.
+        self.unique_image_slots = 0
         if self.dedup_images:
             self._dedup_order = np.argsort(images.row_to_img, kind="stable")
             if shuffle:
@@ -95,6 +100,7 @@ class BatchLoader:
                 blocks = self._split_blocks(self._dedup_order)
                 slots = max((len(np.unique(images.image_indices(b)))
                              for b in blocks), default=1)
+            self.unique_image_slots = int(slots)
             if image_slots:
                 # Forced slot count (e.g. serving an exported dedup artifact
                 # whose signature was compiled with the exporting host's slot
