@@ -141,8 +141,10 @@ def extract_gtrends(sales_df: pd.DataFrame, gtrends: pd.DataFrame,
     For each item, slice the 52 weeks before ``release_date`` for its
     category/color/fabric columns; when the date-bounded slice is short, fall
     back to everything up to the release date; min-max scale per item/trend.
-    Vectorized: dates are resolved once with ``searchsorted`` on the trend
-    index, columns once via a name->position map.
+    Date resolution is batched (one ``searchsorted`` over the trend index)
+    and columns resolve via a name->position map, but the variable-length
+    slice copy itself remains a per-item Python loop — ingest-only and
+    cached (``load_dataset`` npz cache), so it is not on any hot path.
     """
     idx = gtrends.index
     values = gtrends.to_numpy(dtype=np.float64)
