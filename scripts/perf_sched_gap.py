@@ -105,11 +105,19 @@ def _time_probe(apply_fn, variables, x_const, leaf_paths, *, rt, tag,
     run(probe_iters, 1)                      # compile + warm (distinct seeds)
     est = max(run(probe_iters, 2) - rt, 1e-6) / probe_iters
     iters = int(min(max_iters, max(probe_iters, np.ceil(min_device_s / est))))
-    secs = max(run(iters, 3) - rt, 1e-9) / iters
+    # A new scan length is a new XLA program: warm ONCE at the final length
+    # so the timed run contains zero compile time (the first r5 run skipped
+    # this and reported compile-contaminated times, e.g. full at 306 ms/step
+    # vs the known 29.8 ms backbone).
+    run(iters, 3)
+    secs = max(run(iters, 4) - rt, 1e-9) / iters
 
     lowered = jfn.lower(dv, dx, jnp.zeros((iters,), jnp.float32))
     cost = lowered.compile().cost_analysis()
-    flops = float(cost.get("flops", 0.0)) / iters if cost else 0.0
+    # cost_analysis counts a lax.scan body ONCE (verified: full/noskip
+    # totals are identical and equal one batch's FLOPs), so the body cost
+    # IS the per-step cost — no division by iters.
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
     print(f"[{tag}] {secs * 1e3:.3f} ms/step (iters={iters}, "
           f"{flops / 1e9:.1f} GFLOP/step)", flush=True)
     return secs, flops, iters
@@ -175,7 +183,8 @@ def main():
     stream_run(8, 1)
     est = max(stream_run(8, 2) - rt, 1e-6) / 8
     it = int(min(512, max(8, np.ceil(1.0 / est))))
-    s_tri = max(stream_run(it, 3) - rt, 1e-9) / it
+    stream_run(it, 3)                        # compile at the final length
+    s_tri = max(stream_run(it, 4) - rt, 1e-9) / it
     stream_gbs = 2 * n_bytes / s_tri / 1e9
     print(f"[stream] {s_tri * 1e3:.3f} ms/step ({stream_gbs:.0f} GB/s)",
           flush=True)
