@@ -181,6 +181,18 @@ def main():
         args.emb_dim, args.hidden_dim = 16, 16
         args.models = args.models if args.models != TRANSFORMER_MODELS \
             else ["gated_v4"]
+        # Self-contained dry run: generate the synthetic stand-in if the
+        # path has no dataset yet (a real dataset is never touched — the
+        # marker checked is the label-dict file every real dataset has).
+        if not os.path.exists(
+                os.path.join(args.dataset_path, "category_labels.json")) \
+                and not os.path.exists(
+                os.path.join(args.dataset_path, "category_labels.pt")):
+            from visuelle2_tpu.data.synthetic import make_synthetic_dataset
+            print(f"[quick] no dataset at {args.dataset_path}; generating "
+                  "the synthetic stand-in")
+            make_synthetic_dataset(args.dataset_path, num_train=64,
+                                   num_test=32, image_size=args.image_size)
     elif not args.pretrained_backbone:
         print("WARNING: no --pretrained_backbone; the reference finetunes "
               "torchvision-pretrained CNNs, so WAPE/MAE will NOT be "
